@@ -1,0 +1,219 @@
+"""Deterministic rule-based graph extraction — the behavioral contract.
+
+This module is the single pure-Python implementation of the reference
+extractor's deterministic path (reference: services.py:379-547,
+``KnowledgeGraphExtractor._extract_with_rules`` and helpers).  It is executed
+ONLY inside Arrow-batched ``mapInPandas`` workers (see
+:mod:`kgx.operators.extract`) — never row-at-a-time from the driver.
+
+The regex patterns and their evaluation order ARE the spec: several verified
+quirks of the reference are intentionally preserved because the P/R>=0.95
+target is measured against the reference's actual output, bugs included:
+
+* CamelCase tokens ("TechStart", "SmartBot") are never matched as mentions —
+  the leading ``\\b`` plus ``[A-Z][a-z]+`` cannot start mid-word or cross an
+  internal capital (reference services.py:392-393).
+* The stop-word filter is exact-match only; "The Engineering Department"
+  survives while bare "The" is dropped (services.py:396-397).
+* Relationship matching runs with ``re.IGNORECASE``, which lets the greedy
+  entity sub-pattern over-capture spans like "Acme Corporation in New York";
+  the over-captured label then fails node resolution and the edge is silently
+  dropped (services.py:472-505).
+* Mention dedup is first-occurrence, case-sensitive; the per-document entity
+  cap is 15 (services.py:399-407).
+* Edge dedup on (source, target, relationship) node-id triples is global per
+  document across sentences (services.py:494-500).
+
+All patterns are compiled once at module import (once per executor worker
+process), so per-batch cost is pure matching.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+# --------------------------------------------------------------------------
+# Pattern tables (spec: reference services.py:389-470, 507-547)
+# --------------------------------------------------------------------------
+
+#: Sentence boundary split (services.py:389).
+SENTENCE_SPLIT_RX = re.compile(r"[.!?]+")
+
+#: Capitalized multi-word mention detector (services.py:392).
+MENTION_RX = re.compile(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\b")
+
+#: Exact-match stop words (services.py:396).
+STOP_WORDS = frozenset(
+    {
+        "In", "The", "A", "An", "This", "That", "These", "Those",
+        "It", "Is", "Was", "Are", "Were", "Be", "Been",
+    }
+)
+
+#: Per-document unique-mention cap (services.py:407).
+MENTION_CAP = 15
+
+# The entity sub-pattern used inside every relationship regex.  NOTE: inside
+# relationship patterns the reference anchors only the LEADING word boundary
+# and omits the trailing one (services.py:438-469) — kept verbatim.
+_E = r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*"
+
+#: Relationship patterns in evaluation order (services.py:436-470).
+#: Tuples are (compiled regex, relationship).  The single 3-group pattern
+#: ("X founded Y in Z") additionally fans out (Y, located_in, Z)
+#: (services.py:477-481).
+RELATION_PATTERNS: List[Tuple[re.Pattern, str]] = [
+    (re.compile(p, re.IGNORECASE), rel)
+    for p, rel in [
+        # CEO / CTO
+        (rf"({_E})\s+is\s+the\s+CEO\s+of\s+({_E})", "ceo_of"),
+        (rf"({_E})\s+is\s+the\s+CTO\s+of\s+({_E})", "cto_of"),
+        # employment
+        (
+            rf"({_E})\s+(?:works?|worked|working)\s+(?:as\s+a?\s+)?"
+            rf"(?:\w+\s+)?(?:at|for|in|with)\s+({_E})",
+            "works_at",
+        ),
+        # founding — 3-group variant first, then generic
+        (rf"({_E})\s+founded\s+({_E})\s+in\s+({_E})", "founded"),
+        (rf"({_E})\s+(?:founded|established|created|started)\s+({_E})", "founded"),
+        # location
+        (rf"({_E})\s+in\s+({_E})\s+in\s+\d{{4}}", "located_in"),
+        (rf"({_E}),?\s+(?:headquartered|located|based)\s+in\s+({_E})", "located_in"),
+        (rf"({_E})\s+is\s+located\s+in\s+(?:the\s+)?({_E})", "located_in"),
+        # acquisition
+        (rf"({_E})\s+acquired\s+({_E})\s+(?:for|in)", "acquired"),
+        (rf"({_E})\s+(?:acquired|bought|purchased)\s+({_E})", "acquired"),
+        # management
+        (rf"({_E})\s+(?:manages|managed|leads|led|oversees)\s+(?:the\s+)?({_E})", "manages"),
+        # membership / role
+        (rf"({_E})\s+serves\s+as\s+(?:\w+\s+)?of\s+({_E})", "member_of"),
+        (rf"({_E})\s+now\s+serves\s+as\s+\w+\s+of\s+({_E})", "member_of"),
+        # development
+        (
+            rf"({_E})\s+developed\s+(?:an?\s+)?(?:\w+\s+)?(?:platform\s+)?called\s+({_E})",
+            "developed",
+        ),
+        (rf"({_E})\s+(?:developed|built|designed|created)\s+({_E})", "developed"),
+        # usage
+        (rf"({_E})\s+is\s+used\s+by\s+({_E})", "used_by"),
+    ]
+]
+
+# Entity-type keyword cascades (services.py:514-531); order matters.
+_ORG_KEYWORDS = (
+    "corporation", "corp", "company", "inc", "ltd", "llc",
+    "university", "institute", "department", "division",
+)
+_LOC_KEYWORDS = (
+    "city", "country", "state", "street", "avenue", "road",
+    "york", "francisco", "london", "paris", "tokyo",
+)
+_TECH_KEYWORDS = ("bot", "app", "system", "platform", "software", "tool", "ai", "tech")
+_TITLE_KEYWORDS = (
+    "engineer", "manager", "director", "ceo", "cto", "cfo",
+    "president", "vice president",
+)
+
+
+def classify_entity(label: str, doc_text: str) -> str:
+    """Entity-type heuristic (services.py:507-547). Order of checks matters."""
+    low = label.lower()
+    if any(k in low for k in _ORG_KEYWORDS):
+        return "Organization"
+    if any(k in low for k in _LOC_KEYWORDS):
+        return "Location"
+    if any(k in low for k in _TECH_KEYWORDS):
+        return "Technology"
+    if any(k in low for k in _TITLE_KEYWORDS):
+        return "JobTitle"
+    esc = re.escape(label)
+    person_context = (
+        rf"{esc}\s+(?:is|was|works|worked|manages|founded)",
+        rf"(?:Mr\.|Mrs\.|Dr\.|Ms\.)\s+{esc}",
+        rf"{esc}\s+(?:serves as|joined|left)",
+    )
+    for pat in person_context:
+        if re.search(pat, doc_text, re.IGNORECASE):
+            return "Person"
+    parts = label.split()
+    if len(parts) == 2 and all(w[0].isupper() for w in parts):
+        return "Person"
+    return "Entity"
+
+
+def detect_mentions(text: str) -> List[str]:
+    """Whole-document mention scan → stop-word filter → first-occurrence
+    dedup → cap at 15, preserving first-appearance order
+    (services.py:392-407)."""
+    seen = set()
+    out: List[str] = []
+    for m in MENTION_RX.findall(text):
+        if m in STOP_WORDS or m in seen:
+            continue
+        seen.add(m)
+        out.append(m)
+        if len(out) == MENTION_CAP:
+            break
+    return out
+
+
+def extract_document(
+    text: str,
+) -> Tuple[List[Tuple[str, str, str]], List[Tuple[str, str, str]], List[Tuple[str, str, str]]]:
+    """Run the full rule pipeline on one document's text.
+
+    Returns ``(nodes, edges, triples)`` where
+      nodes   = [(node_id, label, node_type), ...] in n1,n2,... order
+      edges   = [(src_node_id, dst_node_id, relationship), ...]
+      triples = [(subj_label, relationship, obj_label), ...] label-resolved,
+                aligned 1:1 with ``edges``.
+    """
+    if not text or not text.strip():
+        return [], [], []
+
+    labels = detect_mentions(text)
+    nodes = [
+        (f"n{i + 1}", label, classify_entity(label, text))
+        for i, label in enumerate(labels)
+    ]
+    # case-insensitive resolution map: first insertion wins (lower(label) is
+    # unique by construction of MENTION_RX, but keep first-wins semantics)
+    by_lower: Dict[str, Tuple[str, str]] = {}
+    for node_id, label, _ in nodes:
+        by_lower.setdefault(label.lower(), (node_id, label))
+
+    edges: List[Tuple[str, str, str]] = []
+    triples: List[Tuple[str, str, str]] = []
+    edge_seen = set()
+
+    def add_edge(src_label: str, dst_label: str, rel: str) -> None:
+        s = by_lower.get(src_label.lower())
+        t = by_lower.get(dst_label.lower())
+        # unresolved endpoint or self-pair → silently dropped
+        # (services.py:489-492); over-captured IGNORECASE labels land here.
+        if s is None or t is None or s[0] == t[0]:
+            return
+        key = (s[0], t[0], rel)
+        if key in edge_seen:
+            return
+        edge_seen.add(key)
+        edges.append(key)
+        triples.append((s[1], rel, t[1]))
+
+    for sentence in SENTENCE_SPLIT_RX.split(text):
+        sentence = sentence.strip()
+        if not sentence:
+            continue
+        for rx, rel in RELATION_PATTERNS:
+            for match in rx.findall(sentence):
+                if len(match) == 3:
+                    subj, obj, loc = match
+                    add_edge(subj, obj, rel)
+                    add_edge(obj, loc, "located_in")
+                else:
+                    subj, obj = match
+                    add_edge(subj, obj, rel)
+
+    return nodes, edges, triples

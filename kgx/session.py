@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Used by tests and benchmarks; production runs pass their own session from
+``spark-submit``.  Every setting here is cluster-safe — the same config block
+is what we'd ship in ``spark-defaults.conf`` for a 1000-executor job:
+
+- AQE on (runtime coalescing + skew-join splitting) — the heavy-tail doc-size
+  distribution makes static partition sizing wrong at 100 TB.
+- Arrow batch size bounded so a batch of 1 MB documents doesn't blow the
+  Python worker (10k rows x 1 MB would be 10 GB per batch otherwise).
+- Shuffle partitions default to 2x cores locally; on a real cluster AQE
+  coalesces from ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``
+  downward, so oversizing is safe and undersizing is not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "kgx",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 256,
+) -> SparkSession:
+    cores = default_parallelism()
+    master = master or os.environ.get("KGX_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
