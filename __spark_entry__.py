@@ -1,38 +1,111 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline (documents → interleaved
+spans → Arrow-batched extraction → label-resolved triples) at sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 over the
+driver testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL, generated
+from the same pattern tables the engine executes (kgx.oracles).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _narrative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgx.sources import corpus, docs as docs_src
+
+    return corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgx.sources import docs as docs_src
+
+    return docs_src.spans_table(_narrative(spark, sf_dir))
+
+
+def _graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgx.operators import extract, spans as spans_op
+
+    return extract.extract_graphs(spans_op.with_doc_text(_spans(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved span table (SURVEY §2.1 S1-S6, §1.1). Zero-shuffle synthesis."""
+    from kgx.operators import spans as spans_op
+
+    return spans_op.explode_spans(_spans(spark, sf_dir))
+
+
+def q_kg_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-order invariant under forced shuffle (SURVEY §2.7 W5): explode →
+    repartition → offset-sorted reassembly → rebuild text."""
+    from kgx.operators import spans as spans_op
+
+    flat = spans_op.explode_spans(_spans(spark, sf_dir)).repartition(16)
+    rebuilt = spans_op.reassemble_spans(flat)
+    return spans_op.with_doc_text(rebuilt).select("doc_id", "doc_text")
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detect → stop-word filter → first-occurrence dedup → cap 15
+    (SURVEY §2.2 P1-P3, §2.3 R2)."""
+    g = _graphs(spark, sf_dir)
+    return g.select("doc_id", F.posexplode("nodes").alias("pos", "n")).select(
+        "doc_id",
+        F.col("n.label").alias("label"),
+        (F.col("pos") + 1).cast("int").alias("mention_rank"),
+    )
+
+
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node table with synthetic ids + entity typing (SURVEY §2.3 R3, R4)."""
+    from kgx.operators import extract
+
+    return extract.nodes_table(_graphs(spark, sf_dir))
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-resolved (subj, pred, obj) triples — the P/R comparison unit
+    (SURVEY §2.3 R5-R8, §2.5 JN1, §2.8 X2)."""
+    from kgx.operators import extract
+
+    return extract.triples_table(_graphs(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_spans": q_kg_spans,
+        "kg_doc_text": q_kg_doc_text,
+        "kg_mentions": q_kg_mentions,
+        "kg_nodes": q_kg_nodes,
+        "kg_triples": q_kg_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgx import oracles
+
+    return {
+        "kg_spans": oracles.spans_sql(),
+        "kg_doc_text": oracles.doc_text_sql(),
+        "kg_mentions": oracles.mentions_sql(),
+        "kg_nodes": oracles.nodes_sql(),
+        "kg_triples": oracles.triples_sql(),
+    }

@@ -59,13 +59,12 @@ MENTION_CAP = 15
 # and omits the trailing one (services.py:438-469) — kept verbatim.
 _E = r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*"
 
-#: Relationship patterns in evaluation order (services.py:436-470).
-#: Tuples are (compiled regex, relationship).  The single 3-group pattern
-#: ("X founded Y in Z") additionally fans out (Y, located_in, Z)
-#: (services.py:477-481).
-RELATION_PATTERNS: List[Tuple[re.Pattern, str]] = [
-    (re.compile(p, re.IGNORECASE), rel)
-    for p, rel in [
+#: Relationship pattern SOURCE strings in evaluation order
+#: (services.py:436-470).  Kept as raw strings so the DuckDB oracle SQL
+#: (kgx.oracles) embeds the exact same patterns — one table, no drift.
+#: The single 3-group pattern ("X founded Y in Z") additionally fans out
+#: (Y, located_in, Z) (services.py:477-481).
+RELATION_PATTERN_SPECS: List[Tuple[str, str]] = [
         # CEO / CTO
         (rf"({_E})\s+is\s+the\s+CEO\s+of\s+({_E})", "ceo_of"),
         (rf"({_E})\s+is\s+the\s+CTO\s+of\s+({_E})", "cto_of"),
@@ -98,7 +97,10 @@ RELATION_PATTERNS: List[Tuple[re.Pattern, str]] = [
         (rf"({_E})\s+(?:developed|built|designed|created)\s+({_E})", "developed"),
         # usage
         (rf"({_E})\s+is\s+used\s+by\s+({_E})", "used_by"),
-    ]
+]
+
+RELATION_PATTERNS: List[Tuple[re.Pattern, str]] = [
+    (re.compile(p, re.IGNORECASE), rel) for p, rel in RELATION_PATTERN_SPECS
 ]
 
 # Entity-type keyword cascades (services.py:514-531); order matters.
