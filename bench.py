@@ -1,0 +1,89 @@
+"""Per-round benchmark: headline KG pipeline + per-query timings.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...}
+
+Env:
+    SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    KGX_BENCH_REPLICATE  corpus replication factor for the headline pipeline
+                         run (default 8 → 40k docs at sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate_factor = int(os.environ.get("KGX_BENCH_REPLICATE", "8"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from kgx.session import get_spark
+
+    spark = get_spark(
+        "kgx-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).count()  # forces full execution, no driver collect
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: end-to-end pipeline (spans → extract → materialize + lineage)
+    from kgx.plans import pipeline
+    from kgx.sources import corpus, docs as docs_src
+
+    out_dir = tempfile.mkdtemp(prefix="kgx_bench_")
+    try:
+        documents = corpus.replicate(
+            docs_src.load_documents(spark, sf_dir), replicate_factor
+        )
+        docs = docs_src.spans_table(corpus.narrative_documents(documents))
+        t0 = time.time()
+        metrics = pipeline.run(
+            spark,
+            docs,
+            pipeline.PipelineConfig(out_dir=out_dir, n_buckets=max(2 * cpus, 16), resume=False),
+        )
+        pipeline_sec = time.time() - t0
+        timings["kg_pipeline_e2e"] = round(pipeline_sec, 3)
+        triples_per_sec = metrics["triples"] / pipeline_sec if pipeline_sec else 0.0
+        total = round(time.time() - t_all, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_construct_pipeline_and_queries",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "docs": metrics["docs"],
+                    "triples": metrics["triples"],
+                    "triples_per_sec": round(triples_per_sec, 1),
+                    "replicate_factor": replicate_factor,
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""End-to-end KG construction pipeline with explicit partitioning + resume.
+
+Replaces the reference's per-HTTP-request lifecycle (reference
+main.py:81-132: upload → extract → validate → persist, one doc per request,
+single node) with one batch DataFrame job designed for 10^12 documents:
+
+    docs(doc_id, spans)
+      → bucket = pmod(xxhash64(doc_id), n_buckets)        [partition unit]
+      → anti-filter buckets already committed (lineage)   [resume]
+      → salted repartition                                [skew handling]
+      → span concat (SQL higher-order fns, zero shuffle)
+      → mapInPandas extraction (one Arrow crossing)
+      → graphs table write, partitioned by bucket
+      → nodes/edges/triples derived by JVM-side explodes of the
+        materialized graphs table (extraction runs exactly once)
+      → lineage append with per-bucket metrics
+
+Scale notes:
+- ``repartition(P, bucket, salt)`` spreads each bucket over ``salt_factor``
+  tasks so a heavy-tailed bucket (10x-length docs clustering by hash
+  accident) cannot straggle a whole stage; AQE skew-join split covers the
+  join side downstream.
+- Writes are partitioned by ``bucket`` with dynamic partition overwrite:
+  re-running a failed job overwrites only the partitions it recomputes, so
+  a mid-job crash leaves committed buckets untouched and uncommitted buckets
+  are rewritten wholesale — idempotent at the bucket level.
+- All persisted tables are plain directory tables here (sandbox); swap
+  ``.parquet`` for ``.format("iceberg")`` + catalog identifiers for atomic
+  multi-snapshot commits in production — the dataflow is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgx.operators import extract, spans as spans_op
+from kgx.plans import lineage as lin
+
+
+@dataclass
+class PipelineConfig:
+    out_dir: str
+    n_buckets: int = 64
+    salt_factor: int = 4          # tasks per bucket for the extraction stage
+    resume: bool = True
+    run_id: str | None = None
+
+
+def _bucketed(docs: DataFrame, n_buckets: int) -> DataFrame:
+    return docs.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
+    """Execute (or resume) the pipeline. Returns a metrics dict."""
+    started = datetime.now(timezone.utc)
+    t0 = time.time()
+    run_id = cfg.run_id or uuid.uuid4().hex[:12]
+
+    bucketed = _bucketed(docs, cfg.n_buckets)
+
+    done = set(lin.completed_buckets(spark, cfg.out_dir)) if cfg.resume else set()
+    if done:
+        bucketed = bucketed.where(~F.col("bucket").isin(sorted(done)))
+
+    # skew-aware spread: bucket × salt so no single bucket serializes a stage
+    salted = bucketed.repartition(
+        cfg.n_buckets * cfg.salt_factor,
+        "bucket",
+        F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(cfg.salt_factor)),
+    )
+
+    graphs = extract.extract_graphs(spans_op.with_doc_text(salted)).withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_buckets)).cast("int")
+    )
+
+    graphs_path = os.path.join(cfg.out_dir, "graphs")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    graphs.write.mode("overwrite").partitionBy("bucket").parquet(graphs_path)
+
+    # derive flat tables from the materialized graphs (extraction ran once);
+    # these are pure JVM explodes — no second Python pass
+    stored = spark.read.parquet(graphs_path)
+    if done:  # only rewrite partitions this run computed
+        stored = stored.where(~F.col("bucket").isin(sorted(done)))
+    for name, fn in (
+        ("nodes", extract.nodes_table),
+        ("edges", extract.edges_table),
+        ("triples", extract.triples_table),
+    ):
+        flat = fn(stored).withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_buckets)).cast("int")
+        )
+        flat.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(cfg.out_dir, name)
+        )
+
+    per_bucket = (
+        stored.groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("nodes")).alias("nodes"),
+            F.sum(F.size("edges")).alias("edges"),
+            F.sum(F.size("triples")).alias("triples"),
+        )
+    )
+    lin.append_lineage(spark, cfg.out_dir, run_id, per_bucket, started)
+
+    metrics_rows = (
+        lin.read_lineage(spark, cfg.out_dir)
+        .where(F.col("status") == "done")
+        .groupBy()
+        .agg(
+            F.countDistinct("bucket").alias("buckets"),
+            F.sum("docs").alias("docs"),
+            F.sum("triples").alias("triples"),
+        )
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    return {
+        "run_id": run_id,
+        "wall_sec": wall,
+        "buckets_total": int(metrics_rows["buckets"] or 0),
+        "buckets_this_run": cfg.n_buckets - len(done),
+        "docs": int(metrics_rows["docs"] or 0),
+        "triples": int(metrics_rows["triples"] or 0),
+    }
+
+
+def read_output(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, table)).drop("bucket")

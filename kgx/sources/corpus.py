@@ -114,6 +114,21 @@ def narrative_documents(documents: DataFrame) -> DataFrame:
     return narr
 
 
+def replicate(documents: DataFrame, factor: int) -> DataFrame:
+    """Deterministically replicate (doc_id, text) rows ``factor``× for
+    throughput benchmarking: new ids remain unique and shift the template
+    phase, so replicas are distinct-but-equivalent workloads.  Pure flatMap
+    shape (explode of a literal sequence) — no shuffle, no RNG."""
+    return documents.select(
+        F.explode(F.expr(f"sequence(0, {int(factor)} - 1)")).alias("rep"),
+        "doc_id",
+        "text",
+    ).select(
+        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+        "text",
+    )
+
+
 #: DuckDB CTE producing the identical (doc_id, text) — prefix for oracle SQL.
 NARRATIVE_CTE = """
 narrative AS (

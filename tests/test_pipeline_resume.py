@@ -1,0 +1,73 @@
+"""Checkpoint/resume: a restarted pipeline recomputes zero completed buckets
+and converges to the same output as a clean run (north rule)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgx.plans import lineage as lin
+from kgx.plans import pipeline
+from kgx.sources import corpus, docs as docs_src
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    narrative = corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
+    return docs_src.spans_table(narrative).cache()
+
+
+def _triples_set(spark, out_dir):
+    df = pipeline.read_output(spark, out_dir, "triples")
+    return {tuple(r) for r in df.select("doc_id", "subj", "pred", "obj").collect()}
+
+
+def test_resume_skips_completed_buckets(spark, docs):
+    out_resume = tempfile.mkdtemp(prefix="kgx_resume_")
+    out_clean = tempfile.mkdtemp(prefix="kgx_clean_")
+    try:
+        n_buckets = 8
+        cfg = pipeline.PipelineConfig(out_dir=out_resume, n_buckets=n_buckets, run_id="run1")
+        bucketed = pipeline._bucketed(docs, n_buckets)
+
+        # simulate a job that died after committing buckets 0-3
+        partial = bucketed.where(F.col("bucket") < 4).drop("bucket")
+        m1 = pipeline.run(spark, partial, cfg)
+        assert m1["buckets_total"] == 4
+
+        lin1 = {
+            r["bucket"]: (r["run_id"], r["finished_at"])
+            for r in lin.read_lineage(spark, out_resume).collect()
+        }
+        assert set(lin1) == {0, 1, 2, 3}
+
+        # restart over the FULL input — must recompute nothing already done
+        cfg2 = pipeline.PipelineConfig(out_dir=out_resume, n_buckets=n_buckets, run_id="run2")
+        m2 = pipeline.run(spark, docs, cfg2)
+        lin2 = lin.read_lineage(spark, out_resume).collect()
+        by_bucket = {r["bucket"]: (r["run_id"], r["finished_at"]) for r in lin2}
+        assert set(by_bucket) == set(range(n_buckets))
+        # completed buckets untouched: same run_id, same finished_at
+        for b in range(4):
+            assert by_bucket[b] == lin1[b]
+        # new buckets attributed to the resumed run only
+        assert {r["bucket"] for r in lin2 if r["run_id"] == "run2"} == {4, 5, 6, 7}
+        assert m2["buckets_total"] == n_buckets
+
+        # resumed output == clean single-shot run
+        cfg3 = pipeline.PipelineConfig(out_dir=out_clean, n_buckets=n_buckets, run_id="clean")
+        pipeline.run(spark, docs, cfg3)
+        assert _triples_set(spark, out_resume) == _triples_set(spark, out_clean)
+
+        # idempotent: a third run over full input finds nothing to do
+        m3 = pipeline.run(
+            spark, docs,
+            pipeline.PipelineConfig(out_dir=out_resume, n_buckets=n_buckets, run_id="run3"),
+        )
+        lin3 = lin.read_lineage(spark, out_resume)
+        assert lin3.where(F.col("run_id") == "run3").count() == 0
+        assert m3["buckets_total"] == n_buckets
+    finally:
+        shutil.rmtree(out_resume, ignore_errors=True)
+        shutil.rmtree(out_clean, ignore_errors=True)
