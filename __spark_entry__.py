@@ -84,6 +84,33 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.triples_table(_graphs(spark, sf_dir))
 
 
+def q_link_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-stem candidates → connected-components merge → content-derived
+    canonical ids (SURVEY §2.5 JN4, §2.12)."""
+    from kgx.operators import extract, linking
+
+    return linking.canonical_map(extract.nodes_table(_graphs(spark, sf_dir)))
+
+
+def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triples rewritten through the canonical map + dedup (SURVEY §2.12)."""
+    from kgx.operators import extract, linking
+
+    g = _graphs(spark, sf_dir)
+    cmap = linking.canonical_map(extract.nodes_table(g))
+    return linking.canonical_triples(extract.triples_table(g), cmap)
+
+
+def q_link_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH similarity candidates over char shingles (SURVEY §2.5 JN5).
+    Seeded/deterministic; no SQL oracle (LSH bucketing is not expressible in
+    ANSI SQL) — covered by planted-near-duplicate recall tests instead."""
+    from kgx.operators import extract, linking
+
+    labels = linking.distinct_labels(extract.nodes_table(_graphs(spark, sf_dir)))
+    return linking.minhash_edges(labels, jaccard_max_distance=0.3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -96,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_nodes": q_kg_nodes,
         "kg_triples": q_kg_triples,
+        "link_canonical_map": q_link_canonical_map,
+        "link_canonical_triples": q_link_canonical_triples,
+        "link_minhash_pairs": q_link_minhash_pairs,
     }
 
 
@@ -108,4 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": oracles.mentions_sql(),
         "kg_nodes": oracles.nodes_sql(),
         "kg_triples": oracles.triples_sql(),
+        "link_canonical_map": oracles.canonical_map_sql(),
+        "link_canonical_triples": oracles.canonical_triples_sql(),
+        # link_minhash_pairs: intentionally no oracle (LSH not ANSI-SQL-expressible)
     }

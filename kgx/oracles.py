@@ -144,6 +144,58 @@ SELECT doc_id, node_id, label, {_node_type_case()} AS node_type FROM nodes
 """.strip()
 
 
+def _stem_sql(col: str) -> str:
+    """SQL mirror of kgx.operators.linking.normalized_stem."""
+    from kgx.operators.linking import _SUFFIX_RX
+
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), '{_SUFFIX_RX}', ''),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
+def canonical_map_sql() -> str:
+    """Oracle for alias-based canonicalization.  Alias edges connect exactly
+    the labels sharing a normalized stem, so the connected components the
+    engine computes via large-star/small-star are the stem equivalence
+    classes — the oracle is a plain window-min over stems."""
+    return f"""
+{_BASE},
+{_NODES_CTES},
+labs AS (SELECT DISTINCT label FROM nodes),
+stemmed AS (SELECT label, {_stem_sql('label')} AS stem FROM labs)
+SELECT label,
+       min(label) OVER (PARTITION BY stem) AS canonical_label,
+       sha256(min(label) OVER (PARTITION BY stem)) AS canonical_id
+FROM stemmed
+""".strip()
+
+
+def canonical_triples_sql() -> str:
+    """Oracle for triples rewritten through the canonical map + dedup."""
+    tri = triples_sql()
+    # reuse the full triples query as a CTE; it already defines `nodes`
+    body = tri[len("WITH "):]
+    head, tail = body.rsplit("SELECT DISTINCT doc_id, subj, pred, obj FROM resolved", 1)
+    assert tail == ""
+    return f"""
+WITH {head.rstrip()},
+tri AS (SELECT DISTINCT doc_id, subj, pred, obj FROM resolved),
+labs AS (SELECT DISTINCT label FROM nodes),
+cmap AS (
+    SELECT label, min(label) OVER (PARTITION BY {_stem_sql('label')}) AS canonical_label
+    FROM labs
+)
+SELECT DISTINCT t.doc_id,
+       coalesce(cs.canonical_label, t.subj) AS subj,
+       t.pred,
+       coalesce(co.canonical_label, t.obj) AS obj
+FROM tri t
+LEFT JOIN cmap cs ON cs.label = t.subj
+LEFT JOIN cmap co ON co.label = t.obj
+""".strip()
+
+
 def triples_sql() -> str:
     """Oracle for label-resolved (subj, pred, obj) triples — the P/R unit."""
     two_group = [
