@@ -111,6 +111,98 @@ def q_link_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linking.minhash_edges(labels, jaccard_max_distance=0.3)
 
 
+# --- training-data pipeline extras (raw documents / embeddings tables) ----
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgx.sources import docs as docs_src
+
+    return docs_src.load_documents(spark, sf_dir)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by 60-bit content hash (shuffle carries the hash,
+    not the text)."""
+    from kgx.operators import dedup
+
+    return dedup.exact_groups(_documents(spark, sf_dir))
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity join via inverted shingle index."""
+    from kgx.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash signatures (zero-shuffle array aggregates) → banded LSH
+    buckets → exact-Jaccard-verified near-dup pairs."""
+    from kgx.operators import dedup
+
+    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """64-bit SimHash fingerprints, banded candidates, Hamming <= 3."""
+    from kgx.operators import dedup
+
+    return dedup.simhash_pairs(_documents(spark, sf_dir))
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k (quantized integer dot products — exact and
+    engine-portable)."""
+    from kgx.operators import similarity
+
+    return similarity.cosine_topk(_embeddings(spark, sf_dir))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: nprobe cells per query, exact rerank inside."""
+    from kgx.operators import similarity
+
+    return similarity.ivf_topk(_embeddings(spark, sf_dir))
+
+
+def q_emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above a floor."""
+    from kgx.operators import similarity
+
+    return similarity.embedding_near_dup_pairs(_embeddings(spark, sf_dir))
+
+
+def q_text_stats(spark, sf_dir):
+    """Token/char/punct counts + rational-arithmetic quality score."""
+    from kgx.operators import textstats
+
+    return textstats.text_stats(_documents(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    """Stop-word-marker language guess (deterministic argmax)."""
+    from kgx.operators import textstats
+
+    return textstats.language_id(_documents(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    """Normalized md5 content fingerprints."""
+    from kgx.operators import textstats
+
+    return textstats.fingerprints(_documents(spark, sf_dir))
+
+
+def q_media_inventory(spark, sf_dir):
+    """Typed media metadata over interleaved media spans."""
+    from kgx.operators import media, spans as spans_op
+
+    return media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -126,6 +218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_canonical_map": q_link_canonical_map,
         "link_canonical_triples": q_link_canonical_triples,
         "link_minhash_pairs": q_link_minhash_pairs,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "media_inventory": q_media_inventory,
     }
 
 
@@ -141,4 +244,15 @@ def oracle_sql() -> dict[str, str]:
         "link_canonical_map": oracles.canonical_map_sql(),
         "link_canonical_triples": oracles.canonical_triples_sql(),
         # link_minhash_pairs: intentionally no oracle (LSH not ANSI-SQL-expressible)
+        "dedup_exact": oracles.dedup_exact_sql(),
+        "dedup_jaccard_pairs": oracles.dedup_jaccard_sql(),
+        "dedup_minhash_lsh": oracles.dedup_minhash_sql(),
+        "dedup_simhash_pairs": oracles.dedup_simhash_sql(),
+        "ann_topk": oracles.ann_topk_sql(),
+        "ann_ivf_topk": oracles.ann_ivf_sql(),
+        "emb_near_dup_pairs": oracles.emb_near_dup_sql(),
+        "text_stats": oracles.text_stats_sql(),
+        "language_id": oracles.language_id_sql(),
+        "fingerprints": oracles.fingerprints_sql(),
+        "media_inventory": oracles.media_inventory_sql(),
     }

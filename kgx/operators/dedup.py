@@ -1,0 +1,234 @@
+"""Document deduplication suite — exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Core operators a 100 TB training-data pipeline needs in front of the KG
+extractor (duplicate web pages would otherwise dominate both compute and the
+resulting graph).  All variants are pure DataFrame/SQL built-ins — no Python
+UDFs anywhere — and every hash is md5-derived so the DuckDB oracle reproduces
+results bit-for-bit (kgx.functions.hashing).
+
+Scale design:
+- exact: one shuffle on a 60-bit text hash (not the text itself).
+- n-gram Jaccard: inverted-index self-join on shingle hashes.  At corpus
+  scale, add a document-frequency cutoff on hot shingles before the join
+  (``max_shingle_df``) — a stop-shingle filter, same trick as stop words.
+- MinHash-LSH: signatures are computed per-row with higher-order array
+  functions (aggregate over the shingle array — zero shuffle), then ONE
+  shuffle on (band, band_hash) buckets.  Candidates are verified with true
+  Jaccard before reporting, so precision is exact and recall is the standard
+  LSH s-curve.
+- SimHash: 64-bit fingerprint per doc via bit-vote aggregation; candidate
+  pairs via 4×16-bit band buckets (Hamming ≤ 3 ⇒ at least one band equal),
+  verified with bit_count(xor) — all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgx.functions import hashing
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_groups(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, text_hash, canonical_doc_id, group_size).
+
+    canonical = min doc_id per identical text.  The shuffle key is the 60-bit
+    hash, so the exchange carries ~16 bytes/row regardless of document size.
+    """
+    h = documents.select(
+        "doc_id", F.expr(hashing.spark_md5_60("text")).alias("text_hash")
+    )
+    grp = h.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+    return h.join(grp, "text_hash").select(
+        "doc_id", "text_hash", "canonical_doc_id", "group_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+def _shingle_expr(n: int) -> str:
+    """Distinct word n-gram shingle strings from ``text`` (space-tokenized).
+    Guarded: Spark's sequence(1, 0) would DESCEND, so short docs short-circuit
+    to an empty array."""
+    return (
+        f"CASE WHEN size(split(text, ' ')) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))) END"
+    )
+
+
+def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle_hash) — exploded distinct shingles, hashed to 60 bits."""
+    return (
+        documents.select("doc_id", F.expr(_shingle_expr(n)).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", F.expr(hashing.spark_md5_60("shingle")).alias("shingle_hash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via inverted index.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    before the self-join (the skew guard for web-scale corpora).
+    """
+    sh = shingle_table(documents, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle_hash").count().where(F.col("count") > max_shingle_df)
+        sh = sh.join(hot.select("shingle_hash"), "shingle_hash", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig array<bigint>) — per-row computation, zero shuffle.
+
+    sig[s] = min over shingles of md5_60('<s>|' || shingle); docs with no
+    shingles are dropped (shorter than n tokens)."""
+    mins = ", ".join(
+        "aggregate(shingles, cast(9223372036854775807 as bigint), "
+        f"(acc, x) -> least(acc, {hashing.seeded('x', s, 'spark')}))"
+        for s in range(num_hashes)
+    )
+    return (
+        documents.select("doc_id", F.expr(_shingle_expr(n)).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.expr(f"array({mins})").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    Output: (doc_a, doc_b, jaccard) — LSH-candidate pairs whose TRUE n-gram
+    Jaccard ≥ threshold.  One shuffle to bucket, one to verify.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(documents, n, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"md5(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+                f"v -> cast(v as string)), '_')))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(documents, n=n, threshold=threshold)
+    return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash bigint) — 64-bit SimHash over distinct tokens.
+
+    Bit j of the fingerprint is 1 iff more token-hashes have bit j set than
+    unset.  Computed via explode(tokens) → explode(bits) → bit-vote groupBy;
+    only 60 bits are populated (md5_60) which is plenty for near-dup work.
+    """
+    tok = (
+        documents.select(
+            "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .select("doc_id", F.expr(hashing.spark_md5_60("token")).alias("th"))
+    )
+    votes = (
+        tok.select("doc_id", "th", F.explode(F.expr("sequence(0, 59)")).alias("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(th, bit) & 1) = 1"), 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("cast(shiftleft(cast(1 as bigint), bit) as bigint)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4×15-bit band buckets (Hamming ≤ 3 over 60
+    bits ⇒ pigeonhole: some band identical), verified by bit_count(xor).
+
+    Output: (doc_a, doc_b, hamming int)."""
+    fp = simhash_fingerprints(documents)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), b -> shiftright(simhash, b * 15) & 32767)"
+            )
+        ).alias("band", "band_bits"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_bits") == F.col("y.band_bits"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("cast(bit_count(x.simhash ^ y.simhash) as int)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,90 @@
+"""Text analysis operators for training-data curation.
+
+Language-ID (stop-word-list heuristic), quality scoring, token counting and
+document fingerprinting — the per-document filters a web-scale corpus runs
+before extraction.  Everything is built-in Spark SQL functions (JVM-side,
+codegen'd, no UDFs), and arithmetic avoids transcendentals so the DuckDB
+oracle reproduces values bit-for-bit (integer counts + IEEE division only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language function-word lists for the n-gram/stop-word heuristic.
+#: Deliberately small + fixed: the operator contract is deterministic scoring,
+#: not linguistic accuracy.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+    "zh": ("de", "shi", "he", "zai", "le"),
+}
+
+TOKENS_EXPR = "filter(split(text, ' '), t -> t != '')"
+PUNCT_EXPR = "length(text) - length(regexp_replace(text, '[.!?,;:]', ''))"
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc counts + quality score.
+
+    quality = unique_ratio * min(1, tokens/50) * (1 - punct_ratio) — rational
+    arithmetic over exact integers; deterministic across engines.
+    """
+    t = documents.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("token_count"),
+        F.expr(f"size(array_distinct({TOKENS_EXPR}))").cast("long").alias("unique_tokens"),
+        F.length("text").cast("long").alias("char_count"),
+        F.expr(PUNCT_EXPR).cast("long").alias("punct_count"),
+    )
+    # filter BEFORE dividing: ANSI mode makes 0-token/0-char docs a hard
+    # divide-by-zero error, not a NULL
+    return t.where(F.col("token_count") > 0).select(
+        "doc_id",
+        "token_count",
+        "unique_tokens",
+        "char_count",
+        "punct_count",
+        (
+            (F.col("unique_tokens") / F.col("token_count"))
+            * F.least(F.lit(1.0), F.col("token_count") / F.lit(50.0))
+            * (F.lit(1.0) - F.col("punct_count") / F.col("char_count"))
+        ).alias("quality"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang_guess, lang_hits) — argmax of marker-word hit counts,
+    ties broken by language code order.  One pass, no shuffle beyond the
+    final projection."""
+    hit_cols = [
+        F.expr(
+            "size(filter("
+            + TOKENS_EXPR
+            + ", t -> t IN ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))"
+        ).cast("long").alias(f"hits_{code}")
+        for code, words in LANG_MARKERS.items()
+    ]
+    scored = documents.select("doc_id", *hit_cols)
+    # argmax via greatest + cascaded CASE (deterministic tie-break by order)
+    best = F.greatest(*[F.col(f"hits_{c}") for c in LANG_MARKERS])
+    guess = F.lit(None).cast("string")
+    for code in reversed(list(LANG_MARKERS)):
+        guess = F.when(F.col(f"hits_{code}") == best, F.lit(code)).otherwise(guess)
+    return scored.select("doc_id", guess.alias("lang_guess"), best.alias("lang_hits"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Normalized content fingerprint: md5 of lower-cased,
+    whitespace-collapsed text — the join key for cross-snapshot dedup."""
+    return documents.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    )

@@ -196,6 +196,318 @@ LEFT JOIN cmap co ON co.label = t.obj
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline extras (raw documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _duck_md5_60(expr: str) -> str:
+    from kgx.functions.hashing import duckdb_md5_60
+
+    return duckdb_md5_60(expr)
+
+
+def _duck_shingles(n: int = 3) -> str:
+    return (
+        f"CASE WHEN len(str_split(text, ' ')) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_distinct(list_transform(range(1, len(str_split(text, ' ')) - {n - 1} + 1), "
+        f"i -> array_to_string(list_slice(str_split(text, ' '), i, i + {n - 1}), ' '))) END"
+    )
+
+
+def dedup_exact_sql() -> str:
+    return f"""
+WITH h AS (SELECT doc_id, {_duck_md5_60('text')} AS text_hash FROM documents),
+g AS (SELECT text_hash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+      FROM h GROUP BY 1)
+SELECT doc_id, text_hash, canonical_doc_id, group_size FROM h JOIN g USING (text_hash)
+""".strip()
+
+
+_JACCARD_CTES = f"""
+sh AS (
+    SELECT doc_id, {_duck_md5_60('shingle')} AS shingle_hash
+    FROM (SELECT doc_id, unnest({_duck_shingles()}) AS shingle FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+""".strip()
+
+
+def dedup_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= {threshold}
+""".strip()
+
+
+def dedup_minhash_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+    from kgx.functions.hashing import seeded
+
+    rows = num_hashes // bands
+    sig_cols = ",\n           ".join(
+        f"min({seeded('shingle', s, 'duckdb')}) AS s{s}" for s in range(num_hashes)
+    )
+    band_cases = "\n             ".join(
+        f"WHEN {b} THEN md5(concat_ws('_', "
+        + ", ".join(f"s{b * rows + r}::VARCHAR" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_JACCARD_CTES},
+shw AS (SELECT doc_id, unnest({_duck_shingles()}) AS shingle FROM documents),
+sig AS (
+    SELECT doc_id,
+           {sig_cols}
+    FROM shw GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, band,
+           CASE band
+             {band_cases}
+           END AS band_hash
+    FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)
+),
+cands AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.band_hash = y.band_hash
+                 AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, jaccard
+FROM cands JOIN jpairs USING (doc_a, doc_b)
+WHERE jaccard >= {threshold}
+""".strip()
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, {_duck_md5_60('token')} AS th
+    FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS token
+          FROM documents)
+    WHERE token <> ''
+),
+votes AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN ((th >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+    FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+    FROM votes GROUP BY 1
+),
+banded AS (
+    SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_bits
+    FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM banded x
+JOIN banded y ON x.band = y.band AND x.band_bits = y.band_bits
+             AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+""".strip()
+
+
+_QUANT_CTES = """
+qv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+    FROM embeddings
+),
+base AS (
+    SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+    FROM qv
+    WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0
+)
+""".strip()
+
+_DUCK_DOT = (
+    "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])) AS BIGINT)"
+)
+
+_DUCK_COS = (
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(qnrm AS DOUBLE)) * sqrt(CAST(vnrm AS DOUBLE)))"
+)
+
+
+def ann_topk_sql(n_queries: int = 8, k: int = 5) -> str:
+    dot = _DUCK_DOT.format(a="qs.q", b="base.q")
+    return f"""
+WITH {_QUANT_CTES},
+qs AS (SELECT vec_id AS query_id, q, nrm AS qnrm FROM base WHERE vec_id < {n_queries}),
+scored AS (
+    SELECT qs.query_id, base.vec_id, {dot} AS dot, qs.qnrm, base.nrm AS vnrm
+    FROM qs CROSS JOIN base
+    WHERE base.vec_id <> qs.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, {_DUCK_COS} AS cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_DUCK_COS} DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def ann_ivf_sql(n_queries: int = 8, k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    cdot_v = _DUCK_DOT.format(a="base.q", b="c.q")
+    cdot_q = _DUCK_DOT.format(a="qs.q", b="c.q")
+    dot = _DUCK_DOT.format(a="pr.qq", b="cells.q")
+    return f"""
+WITH {_QUANT_CTES},
+cents AS (SELECT vec_id AS cell, q FROM base WHERE vec_id < {n_centroids}),
+cell_scored AS (
+    SELECT base.vec_id, base.q, base.nrm, c.cell, {cdot_v} AS cdot,
+           row_number() OVER (PARTITION BY base.vec_id
+                              ORDER BY {cdot_v} DESC, c.cell) AS rn
+    FROM base CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, q, nrm, cell FROM cell_scored WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, q, nrm AS qnrm FROM base WHERE vec_id < {n_queries}),
+probe_scored AS (
+    SELECT qs.query_id, qs.q AS qq, qs.qnrm, c.cell, {cdot_q} AS cdot,
+           row_number() OVER (PARTITION BY qs.query_id
+                              ORDER BY {cdot_q} DESC, c.cell) AS rn
+    FROM qs CROSS JOIN cents c
+),
+pr AS (SELECT query_id, qq, qnrm, cell FROM probe_scored WHERE rn <= {nprobe}),
+scored AS (
+    SELECT pr.query_id, cells.vec_id, {dot} AS dot, pr.qnrm, cells.nrm AS vnrm
+    FROM pr JOIN cells USING (cell)
+    WHERE cells.vec_id <> pr.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, {_DUCK_COS} AS cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_DUCK_COS} DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def emb_near_dup_sql(min_cosine: float = 0.2) -> str:
+    dot = _DUCK_DOT.format(a="a.q", b="b.q")
+    return f"""
+WITH {_QUANT_CTES},
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS dot,
+           a.nrm AS qnrm, b.nrm AS vnrm
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {_DUCK_COS} AS cosine
+FROM pairs WHERE {_DUCK_COS} >= {min_cosine}
+""".strip()
+
+
+def text_stats_sql() -> str:
+    toks = "list_filter(str_split(text, ' '), t -> t <> '')"
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len({toks}) AS BIGINT) AS token_count,
+           CAST(len(list_distinct({toks})) AS BIGINT) AS unique_tokens,
+           CAST(length(text) AS BIGINT) AS char_count,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS punct_count
+    FROM documents
+),
+t2 AS (SELECT * FROM t WHERE token_count > 0)
+SELECT doc_id, token_count, unique_tokens, char_count, punct_count,
+       ((unique_tokens / token_count)
+        * least(CAST(1.0 AS DOUBLE), token_count / CAST(50.0 AS DOUBLE)))
+       * (CAST(1.0 AS DOUBLE) - punct_count / char_count) AS quality
+FROM t2
+""".strip()
+
+
+def language_id_sql() -> str:
+    from kgx.operators.textstats import LANG_MARKERS
+
+    toks = "list_filter(str_split(text, ' '), t -> t <> '')"
+    hit_cols = ",\n           ".join(
+        f"CAST(len(list_filter({toks}, t -> t IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + f"))) AS BIGINT) AS hits_{code}"
+        for code, words in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{c}" for c in LANG_MARKERS) + ")"
+    cases = "\n         ".join(
+        f"WHEN hits_{c} = {best} THEN '{c}'" for c in LANG_MARKERS
+    )
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+           {hit_cols}
+    FROM documents
+)
+SELECT doc_id,
+       CASE {cases} END AS lang_guess,
+       {best} AS lang_hits
+FROM scored
+""".strip()
+
+
+def fingerprints_sql() -> str:
+    return (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        " AS fingerprint FROM documents"
+    )
+
+
+def media_inventory_sql() -> str:
+    h = _duck_md5_60("media_ref")
+    return f"""
+{_BASE},
+per_chunk AS (
+    SELECT doc_id, did,
+           unnest(chunks) AS chunk,
+           generate_subscripts(chunks, 1) - 1 AS ci
+    FROM chunked
+),
+sp AS (
+    SELECT doc_id, ci, 0 AS sub, 'text' AS kind, chunk AS text, '' AS media_ref
+    FROM per_chunk
+    UNION ALL
+    SELECT doc_id, ci, 1, 'media', '',
+           's3://media/doc-' || did || '-' || ci || '.png'
+    FROM per_chunk WHERE (did + ci) % 5 = 2
+),
+flat AS (
+    SELECT doc_id, kind, media_ref,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ci, sub) - 1 AS INT)
+               AS span_pos
+    FROM sp
+)
+SELECT doc_id, span_pos, media_ref,
+       CASE WHEN media_ref LIKE '%.png' OR media_ref LIKE '%.jpg' THEN 'image'
+            WHEN media_ref LIKE '%.mp4' THEN 'video'
+            WHEN media_ref LIKE '%.wav' OR media_ref LIKE '%.mp3' THEN 'audio'
+            ELSE 'binary' END AS media_type,
+       CAST({h} % 10000000 AS BIGINT) AS byte_size,
+       CAST(({h} % 1920) + 1 AS INT) AS width,
+       CAST(({h} % 1080) + 1 AS INT) AS height
+FROM flat WHERE kind = 'media'
+""".strip()
+
+
 def triples_sql() -> str:
     """Oracle for label-resolved (subj, pred, obj) triples — the P/R unit."""
     two_group = [

@@ -1,0 +1,73 @@
+"""Dedup suite on planted duplicates/near-duplicates."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kgx.operators import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def test_exact_groups_planted_dup(spark):
+    df = _docs(spark, [BASE, BASE, "totally different words here now"])
+    got = {r["doc_id"]: (r["canonical_doc_id"], r["group_size"]) for r in dedup.exact_groups(df).collect()}
+    assert got[0] == (0, 2) and got[1] == (0, 2) and got[2] == (2, 1)
+
+
+def test_jaccard_pairs_near_dup(spark):
+    near = BASE.replace("kappa", "lambda")  # 8 shingles, 7 shared
+    far = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [BASE, near, far])
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(0, 1)}
+    assert abs(rows[0]["jaccard"] - 7 / 9) < 1e-12
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    texts = [f"doc number {i} filler words to make shingles unique {i}" for i in range(20)]
+    texts.append(BASE)
+    texts.append(BASE.replace("kappa", "lambda"))
+    df = _docs(spark, texts)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (20, 21) in pairs
+
+
+def test_jaccard_hot_shingle_cutoff(spark):
+    # every doc shares the same hot prefix; cutoff removes it from the index
+    texts = [f"common shared prefix words doc {i} unique tail {i}" for i in range(10)]
+    df = _docs(spark, texts)
+    without = dedup.ngram_jaccard_pairs(df, threshold=0.1)
+    with_cut = dedup.ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=3)
+    assert with_cut.count() < without.count()
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = _docs(spark, [BASE, BASE, "entirely disjoint vocabulary set list"])
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(df).collect()}
+    assert fp[0] == fp[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(df).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs or pairs[(0, 2)] > 3
+
+
+def test_short_docs_produce_no_shingles(spark):
+    df = _docs(spark, ["one two", "x", ""])
+    assert dedup.shingle_table(df, n=3).count() == 0
+    assert dedup.minhash_signatures(df).count() == 0
+
+
+def test_text_stats_empty_and_tiny_docs(spark):
+    """Regression: ANSI divide-by-zero on 0-token/0-char docs."""
+    from kgx.operators import textstats
+
+    df = _docs(spark, ["x", "", "a b"])
+    rows = {r["doc_id"]: r for r in textstats.text_stats(df).collect()}
+    assert set(rows) == {0, 2}  # empty doc dropped, no crash
+    assert rows[0]["token_count"] == 1

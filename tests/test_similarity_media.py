@@ -1,0 +1,62 @@
+"""ANN search + multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgx.operators import media, similarity, spans as spans_op
+from kgx.sources import corpus, docs as docs_src
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_shape_and_bounds(spark, emb):
+    top = similarity.cosine_topk(emb, n_queries=4, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+        assert r["vec_id"] != r["query_id"]
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    exact = similarity.cosine_topk(emb, n_queries=8, k=5)
+    approx = similarity.ivf_topk(emb, n_queries=8, k=5, n_centroids=16, nprobe=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # nprobe=8 of 16 cells — expect well above half
+    # every cell assignment covers every vector exactly once
+    cells = similarity.assign_cells(emb, n_centroids=16)
+    assert cells.count() == emb.count()
+    assert cells.groupBy("vec_id").count().where("count > 1").count() == 0
+
+
+def test_media_inventory_and_decode_stub(spark, sf_dir):
+    sp = docs_src.spans_table(
+        corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
+    )
+    inv = media.media_inventory(spans_op.explode_spans(sp))
+    rows = inv.limit(5).collect()
+    assert rows and all(r["media_type"] == "image" for r in rows)
+    assert all(1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080 for r in rows)
+
+    decoded = media.decode_media(inv.limit(10), fake=True).collect()
+    assert len(decoded) == 10
+    for r in decoded:
+        assert len(r["feature"]) == 4
+        assert 1 <= r["frames"] <= 8
+
+    with pytest.raises(Exception) as exc:
+        media.decode_media(inv.limit(1), fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "codecs unavailable" in str(exc.value)
