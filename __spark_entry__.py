@@ -203,6 +203,86 @@ def q_media_inventory(spark, sf_dir):
     return media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
 
 
+# --- relational operator family (SURVEY §2.5 JN3/JN6, §2.6 A1-A3/A6,
+# --- §2.7 W1-W3) over the TPC-H-ish tables ---------------------------------
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Top-1-per-group window (latest-version lookup, SURVEY JN3/W2)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id",
+                F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+                "event_type", "value")
+    )
+
+
+def q_retention_tail(spark, sf_dir):
+    """Delete-set beyond newest K per group (cleanup job, SURVEY A6/W3)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn > 3")
+        .select("user_id", "event_id")
+    )
+
+
+def q_user_type_stats(spark, sf_dir):
+    """Counts/sums/averages per group (SURVEY A1/A2). Money is quantized to
+    integer cents so cross-engine float-summation order can't diverge."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)").alias("sum_cents"),
+    ).select(
+        "user_id", "event_type", "n", "sum_cents",
+        ((F.col("sum_cents").cast("double") / F.lit(100.0)) / F.col("n")).alias("avg_value"),
+    )
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Anti join (SURVEY JN6): customers with no URGENT orders (the
+    all-orders variant is empty at every sf — a vacuous check)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """Semi join (SURVEY JN6, edge-endpoint validation shape P4)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey").distinct()
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Max-per-group (next-version computation, SURVEY A3)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_custkey").agg(
+        F.max("o_orderkey").alias("max_orderkey"), F.count("*").alias("n_orders")
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Wide partial-aggregation scan (map-side combine; quantized sums)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.expr("cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)").alias("qty_cents"),
+        F.expr("cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)").alias("price_cents"),
+        F.expr("cast(sum(cast(round(l_discount * 10000) as bigint)) as bigint)").alias("disc_bp"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -229,6 +309,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "media_inventory": q_media_inventory,
+        "w2_latest_event_per_user": q_latest_event_per_user,
+        "w3_retention_tail": q_retention_tail,
+        "a2_user_type_stats": q_user_type_stats,
+        "jn6_customers_no_orders": q_customers_no_orders,
+        "jn6_customers_with_orders": q_customers_with_orders,
+        "a3_latest_order_per_customer": q_latest_order_per_customer,
+        "a1_pricing_summary": q_pricing_summary,
     }
 
 
@@ -255,4 +342,11 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oracles.language_id_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "media_inventory": oracles.media_inventory_sql(),
+        "w2_latest_event_per_user": oracles.latest_event_sql(),
+        "w3_retention_tail": oracles.retention_tail_sql(),
+        "a2_user_type_stats": oracles.user_type_stats_sql(),
+        "jn6_customers_no_orders": oracles.customers_no_orders_sql(),
+        "jn6_customers_with_orders": oracles.customers_with_orders_sql(),
+        "a3_latest_order_per_customer": oracles.latest_order_sql(),
+        "a1_pricing_summary": oracles.pricing_summary_sql(),
     }

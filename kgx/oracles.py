@@ -508,6 +508,76 @@ FROM flat WHERE kind = 'media'
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# relational operator family (windows / joins / aggregations; SURVEY §2.5-2.8)
+# ---------------------------------------------------------------------------
+
+def latest_event_sql() -> str:
+    return """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""".strip()
+
+
+def retention_tail_sql(keep: int = 3) -> str:
+    return f"""
+SELECT user_id, event_id
+FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn > {keep}
+""".strip()
+
+
+def user_type_stats_sql() -> str:
+    return """
+SELECT user_id, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE)) / count(*) AS avg_value
+FROM events GROUP BY user_id, event_type
+""".strip()
+
+
+def customers_no_orders_sql() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+""".strip()
+
+
+def customers_with_orders_sql() -> str:
+    return """
+SELECT DISTINCT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""".strip()
+
+
+def latest_order_sql() -> str:
+    return """
+SELECT o_custkey, max(o_orderkey) AS max_orderkey, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""".strip()
+
+
+def pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS disc_bp
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
 def triples_sql() -> str:
     """Oracle for label-resolved (subj, pred, obj) triples — the P/R unit."""
     two_group = [

@@ -84,7 +84,12 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
 
     graphs_path = os.path.join(cfg.out_dir, "graphs")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    graphs.write.mode("overwrite").partitionBy("bucket").parquet(graphs_path)
+    # align write partitioning with the bucket layout: one shuffle, one file
+    # per bucket — without this, every extraction task writes into every
+    # bucket directory (tasks × buckets tiny files)
+    graphs.repartition(cfg.n_buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(graphs_path)
 
     # derive flat tables from the materialized graphs (extraction ran once);
     # these are pure JVM explodes — no second Python pass

@@ -28,7 +28,7 @@ def get_spark(
     app_name: str = "kgx",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 256,
+    arrow_batch_rows: int = 1024,
 ) -> SparkSession:
     cores = default_parallelism()
     master = master or os.environ.get("KGX_MASTER", f"local[{cores}]")
@@ -38,6 +38,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -25,6 +25,8 @@ TABLES = (
 
 def value_hash(pdf: pd.DataFrame) -> str:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf) == 0:
+        return hashlib.sha256(b"").hexdigest()[:16]
     rows = pdf.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values()
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
