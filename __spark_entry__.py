@@ -203,6 +203,69 @@ def q_media_inventory(spark, sf_dir):
     return media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
 
 
+# --- JSON ops / validation / CSV-prose (SURVEY §2.4, §2.2 P7-P9, §2.1 S5) --
+
+def q_j1_props_parse(spark, sf_dir):
+    """JSON scalar parse (SURVEY J1) — from_json/get_json_object, no UDF."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.expr("cast(get_json_object(props, '$.k') as int)").alias("k"),
+    )
+
+
+def q_j3_graph_coercion(spark, sf_dir):
+    """JSON graph parse + default coercion + endpoint validation (SURVEY
+    J1/J3/P4): deterministic graph JSON built per event; 1-in-3 edges
+    reference a missing node and must be dropped."""
+    from kgx.oracles import GRAPH_JSON_EXPR
+    from kgx.operators import jsonio
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.expr("cast(get_json_object(props, '$.k') as int)").alias("k")
+    )
+    j = ev.withColumn(
+        "graph_json", F.expr(GRAPH_JSON_EXPR.format(k="cast(k as string)"))
+    )
+    coerced = jsonio.coerce_graph(jsonio.parse_graph_json(j, "graph_json"))
+    return coerced.select(
+        "event_id",
+        F.size("nodes").cast("int").alias("n_nodes"),
+        F.size("edges").cast("int").alias("n_edges"),
+        F.expr("array_join(transform(nodes, n -> n.type), ',')").alias("node_types"),
+        F.expr("array_join(transform(edges, e -> e.relationship), ',')").alias("rels"),
+    )
+
+
+def q_p9_graph_checks(spark, sf_dir):
+    """Per-doc sanity validation metrics (SURVEY P7-P9)."""
+    from kgx.operators import validate
+
+    return validate.graph_checks(_graphs(spark, sf_dir))
+
+
+def q_s5_csv_prose(spark, sf_dir):
+    """Reference CSV semantics: rows flattened to comma-joined prose lines,
+    batched into documents (SURVEY S5; reference services.py:55-62)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    line = (
+        "concat_ws(', ', cast(c_custkey as string), c_name, "
+        "cast(c_nationkey as string), cast(c_acctbal as string), c_mktsegment)"
+    )
+    return (
+        c.select(
+            F.expr("c_custkey div 50").alias("prose_doc_id"),
+            F.struct(F.col("c_custkey").alias("k"), F.expr(line).alias("l")).alias("s"),
+        )
+        .groupBy("prose_doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(s)), x -> x.l), '\n')"
+            ).alias("text")
+        )
+    )
+
+
 # --- relational operator family (SURVEY §2.5 JN3/JN6, §2.6 A1-A3/A6,
 # --- §2.7 W1-W3) over the TPC-H-ish tables ---------------------------------
 
@@ -316,6 +379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jn6_customers_with_orders": q_customers_with_orders,
         "a3_latest_order_per_customer": q_latest_order_per_customer,
         "a1_pricing_summary": q_pricing_summary,
+        "j1_props_parse": q_j1_props_parse,
+        "j3_graph_coercion": q_j3_graph_coercion,
+        "p9_graph_checks": q_p9_graph_checks,
+        "s5_csv_prose": q_s5_csv_prose,
     }
 
 
@@ -349,4 +416,8 @@ def oracle_sql() -> dict[str, str]:
         "jn6_customers_with_orders": oracles.customers_with_orders_sql(),
         "a3_latest_order_per_customer": oracles.latest_order_sql(),
         "a1_pricing_summary": oracles.pricing_summary_sql(),
+        "j1_props_parse": oracles.props_parse_sql(),
+        "j3_graph_coercion": oracles.graph_coercion_sql(),
+        "p9_graph_checks": oracles.graph_checks_sql(),
+        "s5_csv_prose": oracles.csv_prose_sql(),
     }

@@ -1,0 +1,51 @@
+"""JSON graph parsing / coercion / validation (SURVEY §2.4 J1-J3, §2.2 P4).
+
+The reference parses free-form LLM JSON into the fixed graph shape with a
+multi-strategy parser (services.py:233-292), fills defaults
+(``type='Entity'``, ``relationship='related_to'``, services.py:549-580) and
+drops edges whose endpoints aren't in the node-id set (services.py:566-575).
+Spark-side the whole family is declarative: ``from_json`` + higher-order
+array functions — no UDF, fully codegen'd.
+
+The reference's regex-based JSON *repair* (services.py:294-320) is only
+reachable from the non-deterministic LLM path and is intentionally not
+replicated (SURVEY §7.3.6); ``from_json``'s permissive mode plays the same
+"best effort, null on failure" role here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRAPH_JSON_SCHEMA = (
+    "struct<nodes: array<struct<id:string, label:string, type:string>>, "
+    "edges: array<struct<source:string, target:string, relationship:string>>>"
+)
+
+
+def parse_graph_json(df: DataFrame, json_col: str, out_col: str = "graph") -> DataFrame:
+    """J1: parse a JSON graph document; malformed input → null struct."""
+    return df.withColumn(out_col, F.from_json(F.col(json_col), GRAPH_JSON_SCHEMA))
+
+
+def coerce_graph(df: DataFrame, graph_col: str = "graph") -> DataFrame:
+    """J3 + P4: fill defaults, drop malformed nodes, keep only edges whose
+    endpoints exist in the node-id set — all with array expressions."""
+    g = graph_col
+    nodes = (
+        f"transform(filter(coalesce({g}.nodes, array()), "
+        "n -> n.id IS NOT NULL AND n.label IS NOT NULL), "
+        "n -> named_struct('id', n.id, 'label', n.label, "
+        "'type', coalesce(n.type, 'Entity')))"
+    )
+    df = df.withColumn("nodes", F.expr(nodes))
+    edges = (
+        f"transform(filter(coalesce({g}.edges, array()), e -> "
+        "e.source IS NOT NULL AND e.target IS NOT NULL "
+        "AND exists(nodes, n -> n.id = e.source) "
+        "AND exists(nodes, n -> n.id = e.target)), "
+        "e -> named_struct('source', e.source, 'target', e.target, "
+        "'relationship', coalesce(e.relationship, 'related_to')))"
+    )
+    return df.withColumn("edges", F.expr(edges))

@@ -509,6 +509,83 @@ FROM flat WHERE kind = 'media'
 
 
 # ---------------------------------------------------------------------------
+# JSON ops / validation / CSV-prose (SURVEY §2.4 J1-J3, §2.2 P7-P9, §2.1 S5)
+# ---------------------------------------------------------------------------
+
+def props_parse_sql() -> str:
+    return (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events"
+    )
+
+
+#: deterministic graph-JSON construction shared by engine and oracle; the
+#: edge target cycles n1/n2/n3 so exactly 1 of 3 variants fails endpoint
+#: validation (n3 does not exist)
+GRAPH_JSON_EXPR = (
+    "'{{\"nodes\":[{{\"id\":\"n1\",\"label\":\"L' || {k} || '\"}},"
+    "{{\"id\":\"n2\",\"label\":\"M\",\"type\":\"Person\"}}],"
+    "\"edges\":[{{\"source\":\"n1\",\"target\":\"n' || (({k}) % 3 + 1) || '\"}}]}}'"
+)
+
+
+def graph_coercion_sql() -> str:
+    k = "CAST(json_extract(props, '$.k') AS INT)"
+    return f"""
+SELECT event_id,
+       2 AS n_nodes,
+       CASE WHEN ({k}) % 3 + 1 = 3 THEN 0 ELSE 1 END AS n_edges,
+       'Entity,Person' AS node_types,
+       CASE WHEN ({k}) % 3 + 1 = 3 THEN '' ELSE 'related_to' END AS rels
+FROM events
+""".strip()
+
+
+def graph_checks_sql() -> str:
+    """Per-doc validation metrics (P7-P9) recomputed from the extraction
+    CTEs; every narrative doc satisfies the caps, so is_valid must be TRUE
+    everywhere while the metric columns vary per doc."""
+    tri = triples_sql()
+    body = tri[len("WITH "):]
+    head, tail = body.rsplit("SELECT DISTINCT doc_id, subj, pred, obj FROM resolved", 1)
+    assert tail == ""
+    return f"""
+WITH {head.rstrip()},
+tri AS (SELECT DISTINCT doc_id, subj, pred, obj FROM resolved),
+node_stats AS (
+    SELECT doc_id, count(*) AS n_nodes, max(length(label)) AS max_label_len
+    FROM nodes GROUP BY doc_id
+),
+edge_stats AS (SELECT doc_id, count(*) AS n_edges FROM tri GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(ns.n_nodes, 0) AS INT) AS n_nodes,
+       CAST(coalesce(es.n_edges, 0) AS INT) AS n_edges,
+       CAST(coalesce(ns.max_label_len, 0) AS INT) AS max_label_len,
+       TRUE AS unique_node_ids,
+       TRUE AS unique_edges,
+       (coalesce(ns.n_nodes, 0) <= 1000 AND coalesce(es.n_edges, 0) <= 2000
+        AND coalesce(ns.max_label_len, 0) <= 255) AS is_valid
+FROM doctext d
+LEFT JOIN node_stats ns USING (doc_id)
+LEFT JOIN edge_stats es USING (doc_id)
+""".strip()
+
+
+def csv_prose_sql(rows_per_doc: int = 50) -> str:
+    return f"""
+WITH lines AS (
+    SELECT c_custkey // {rows_per_doc} AS prose_doc_id, c_custkey,
+           concat_ws(', ', CAST(c_custkey AS VARCHAR), c_name,
+                     CAST(c_nationkey AS VARCHAR), CAST(c_acctbal AS VARCHAR),
+                     c_mktsegment) AS line
+    FROM customer
+)
+SELECT prose_doc_id,
+       string_agg(line, chr(10) ORDER BY c_custkey) AS text
+FROM lines GROUP BY prose_doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # relational operator family (windows / joins / aggregations; SURVEY §2.5-2.8)
 # ---------------------------------------------------------------------------
 
