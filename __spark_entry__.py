@@ -34,7 +34,13 @@ def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgx.operators import extract, spans as spans_op
 
-    return extract.extract_graphs(spans_op.with_doc_text(_spans(spark, sf_dir)))
+    # the sf dirs are single parquet files → a single input split; spread the
+    # Arrow extraction across cores (the pipeline's salted repartition plays
+    # this role in production)
+    spread = _spans(spark, sf_dir).repartition(
+        2 * spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return extract.extract_graphs(spans_op.with_doc_text(spread))
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +102,7 @@ def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triples rewritten through the canonical map + dedup (SURVEY §2.12)."""
     from kgx.operators import extract, linking
 
-    g = _graphs(spark, sf_dir)
+    g = _graphs(spark, sf_dir).cache()  # one extraction feeds map + rewrite
     cmap = linking.canonical_map(extract.nodes_table(g))
     return linking.canonical_triples(extract.triples_table(g), cmap)
 

@@ -37,11 +37,37 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # headline subset — one representative per operator family; the full
+    # 26-query suite is exercised by the correctness gate, not re-timed here
+    headline = [
+        "kg_triples",
+        "link_canonical_triples",
+        "dedup_minhash_lsh",
+        "ann_topk",
+        "text_stats",
+        "a1_pricing_summary",
+    ]
+    qs = entrymod.queries()
     timings: dict[str, float] = {}
+    # warm up executors + Python workers once so the first timed query does
+    # not absorb worker-spawn/import costs
+    import pandas as _pd
+
+    from kgx.operators import extract as _extract
+
+    warm = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "doc_id": [f"w{i}" for i in range(4 * cpus)],
+                "doc_text": ["Warm Up works at Warm Corporation."] * (4 * cpus),
+            }
+        )
+    ).repartition(2 * cpus)
+    warm.mapInPandas(_extract._extract_batches, schema=_extract.GRAPH_SCHEMA).count()
     t_all = time.time()
-    for name, fn in entrymod.queries().items():
+    for name in headline:
         t0 = time.time()
-        fn(spark, sf_dir).count()  # forces full execution, no driver collect
+        qs[name](spark, sf_dir).count()  # forces full execution, no collect
         timings[name] = round(time.time() - t0, 3)
 
     # headline: end-to-end pipeline (spans → extract → materialize + lineage)

@@ -134,11 +134,19 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
     Output: (doc_a, doc_b, jaccard) — LSH-candidate pairs whose TRUE n-gram
     Jaccard ≥ threshold.  One shuffle to bucket, one to verify.
+
+    ``max_bucket`` is the LSH skew guard: a band bucket holding more than
+    that many documents is a low-information collision (common min-shingles),
+    and its within-bucket pair count grows quadratically — it is dropped
+    before the self-join.  True near-duplicates still collide in their other
+    (b-1) discriminative bands, and every surviving candidate is verified
+    with exact Jaccard anyway.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(documents, n, num_hashes)
@@ -152,6 +160,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    small = (
+        banded.groupBy("band", "band_hash")
+        .count()
+        .where(F.col("count") <= max_bucket)
+        .select("band", "band_hash")
+    )
+    banded = banded.join(small, ["band", "band_hash"])
     x, y = banded.alias("x"), banded.alias("y")
     cands = (
         x.join(
@@ -163,8 +178,25 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(documents, n=n, threshold=threshold)
-    return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # exact-Jaccard verification restricted to the candidate pairs — the
+    # whole point of LSH is to never materialize the full similarity join
+    sh = shingle_table(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hash").alias("ha"))
+    shb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle_hash").alias("hb"))
+    inter = (
+        cands.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("b_doc")) & (F.col("ha") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

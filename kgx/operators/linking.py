@@ -100,13 +100,22 @@ def minhash_edges(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """(src_label, dst_label) undirected edges → (label, component) where
     ``component`` is the lexicographic minimum label of the component.
 
-    Large-star/small-star alternation; each round is two shuffles and the
-    edge set monotonically contracts toward stars.  ``localCheckpoint``
-    truncates lineage so 20+ rounds don't build a mile-deep plan.
+    Adaptive strategy (both paths produce identical output):
+
+    - ``|edges| <= driver_threshold``: collect + union-find on the driver.
+      A candidate edge list that fits in driver memory gains nothing from
+      6 distributed stages per round — this is the same call most
+      production CC implementations make.
+    - otherwise: large-star/small-star alternation (Kiveris et al.) — two
+      shuffles per round, edge set monotonically contracts toward stars,
+      ``localCheckpoint`` truncates lineage.  O(log n) rounds, no driver
+      materialization, no GraphFrames dependency.
     """
     e = (
         edges.select(
@@ -116,6 +125,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+
+    if driver_threshold > 0:
+        sample = e.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            return _driver_union_find(edges.sparkSession, sample)
 
     def _checksum(df: DataFrame):
         row = df.agg(
@@ -160,6 +174,32 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     members = e.select(F.col("v").alias("label"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("label"), F.col("u").alias("component")).distinct()
     return members.union(roots).distinct()
+
+
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    """Small-graph path: classic union-find, component = min label."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by label order so the root IS the component minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    out = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(out, "label string, component string")
 
 
 def canonical_map(

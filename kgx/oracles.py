@@ -250,7 +250,9 @@ SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= {threshold}
 """.strip()
 
 
-def dedup_minhash_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+def dedup_minhash_sql(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.5, max_bucket: int = 200
+) -> str:
     from kgx.functions.hashing import seeded
 
     rows = num_hashes // bands
@@ -278,10 +280,15 @@ banded AS (
            END AS band_hash
     FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)
 ),
+small AS (
+    SELECT band, band_hash FROM banded
+    GROUP BY band, band_hash HAVING count(*) <= {max_bucket}
+),
+capped AS (SELECT b.* FROM banded b JOIN small USING (band, band_hash)),
 cands AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-    FROM banded x
-    JOIN banded y ON x.band = y.band AND x.band_hash = y.band_hash
+    FROM capped x
+    JOIN capped y ON x.band = y.band AND x.band_hash = y.band_hash
                  AND x.doc_id < y.doc_id
 )
 SELECT doc_a, doc_b, jaccard

@@ -40,21 +40,23 @@ def test_alias_edges_share_stem(spark):
         ),
     ],
 )
-def test_connected_components_shapes(spark, edges, expected):
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["driver", "distributed"])
+def test_connected_components_shapes(spark, edges, expected, threshold):
     df = spark.createDataFrame(edges, "src_label string, dst_label string")
     got = {
         r["label"]: r["component"]
-        for r in linking.connected_components(df).collect()
+        for r in linking.connected_components(df, driver_threshold=threshold).collect()
     }
     assert got == expected
 
 
 def test_connected_components_giant_component(spark):
-    # planted giant component: chain of 60 labels + 20 singleton pairs
+    # planted giant component: chain of 60 labels + 20 singleton pairs;
+    # forced onto the DISTRIBUTED large-star/small-star path
     chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(60)]
     pairs = [(f"p{i:02d}a", f"p{i:02d}b") for i in range(20)]
     df = spark.createDataFrame(chain + pairs, "src_label string, dst_label string")
-    comp = linking.connected_components(df)
+    comp = linking.connected_components(df, driver_threshold=0)
     sizes = comp.groupBy("component").count().collect()
     by_size = sorted(r["count"] for r in sizes)
     assert by_size == [2] * 20 + [61]
