@@ -51,6 +51,10 @@ class PipelineConfig:
     salt_factor: int = 4          # tasks per bucket for the extraction stage
     resume: bool = True
     run_id: str | None = None
+    validate: bool = False        # P7-P9 sanity gate between extract & write
+    canonicalize: bool = False    # north star: alias/CC canonical map +
+                                  # deduplicated canonical triple table
+    use_minhash_linking: bool = False  # add LSH candidates to alias edges
 
 
 def _bucketed(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -78,7 +82,12 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
         F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(cfg.salt_factor)),
     )
 
-    graphs = extract.extract_graphs(spans_op.with_doc_text(salted)).withColumn(
+    graphs = extract.extract_graphs(spans_op.with_doc_text(salted))
+    if cfg.validate:
+        from kgx.operators import validate as validate_op
+
+        graphs = validate_op.valid_graphs(graphs)
+    graphs = graphs.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_buckets)).cast("int")
     )
 
@@ -137,6 +146,26 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
         metrics_fut = pool.submit(_metrics, None)
         list(flats)
         per_bucket_rows = metrics_fut.result()
+
+    if cfg.canonicalize:
+        # north-star tail: entity linking over ALL committed buckets (the
+        # canonical map is global — recomputed cheaply from unique labels,
+        # which are orders of magnitude smaller than the corpus) and a
+        # deduplicated canonical triple table
+        from kgx.operators import linking
+
+        all_graphs = spark.read.parquet(graphs_path)
+        nodes_all = extract.nodes_table(all_graphs)
+        cmap = linking.canonical_map(
+            nodes_all, use_minhash=cfg.use_minhash_linking
+        )
+        cmap.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "canonical_map"))
+        canon = linking.canonical_triples(extract.triples_table(all_graphs), cmap)
+        canon.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_buckets)).cast("int")
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(cfg.out_dir, "triples_canonical")
+        )
 
     per_bucket = spark.createDataFrame(
         per_bucket_rows, "bucket int, docs long, nodes long, edges long, triples long"

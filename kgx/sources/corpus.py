@@ -129,6 +129,18 @@ def replicate(documents: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def heavy_tail(documents: DataFrame, tail_fraction_mod: int = 10, blowup: int = 10) -> DataFrame:
+    """Skew-exercise variant (FIXTURES.md §4): every ``tail_fraction_mod``-th
+    document's text is repeated ``blowup``× — a deterministic heavy-tail
+    length distribution that stresses partition balance exactly like hot web
+    domains do at corpus scale."""
+    rep = F.expr(
+        f"CASE WHEN doc_id % {tail_fraction_mod} = 0 "
+        f"THEN array_join(array_repeat(text, {blowup}), ' ') ELSE text END"
+    )
+    return documents.select("doc_id", rep.alias("text"))
+
+
 #: DuckDB CTE producing the identical (doc_id, text) — prefix for oracle SQL.
 NARRATIVE_CTE = """
 narrative AS (
