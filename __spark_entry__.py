@@ -250,6 +250,44 @@ def q_p9_graph_checks(spark, sf_dir):
     return validate.graph_checks(_graphs(spark, sf_dir))
 
 
+def q_j2_json_repair(spark, sf_dir):
+    """LLM-style JSON repair chain (SURVEY J2): bare keys/values + trailing
+    commas + prose prefix → valid JSON, both engines running the same
+    regexp_replace cascade rendered per dialect."""
+    from kgx.operators import jsonio
+    from kgx.oracles import BROKEN_JSON_EXPR
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.expr("cast(get_json_object(props, '$.k') as int)").alias("k")
+    )
+    broken = BROKEN_JSON_EXPR.replace("{k}", "k")
+    fixed = ev.withColumn("broken", F.expr(broken)).withColumn(
+        "fixed", F.expr(jsonio.repair_json_expr("broken", dialect="spark"))
+    )
+    parsed = fixed.withColumn(
+        "p", F.from_json("fixed", "k string, name string, tags array<string>")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_str"),
+        F.col("p.name").alias("name"),
+        F.expr("array_join(p.tags, '|')").alias("tags"),
+    )
+
+
+def q_p10_media_security(spark, sf_dir):
+    """File-security predicates (SURVEY P10) over media refs with planted
+    dangerous/suspicious/unknown-extension variants."""
+    from kgx.operators import media, security, spans as spans_op
+    from kgx.oracles import _P10_VARIANT
+
+    inv = media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
+    variant = _P10_VARIANT.format(dot=r"\\.", flag="")
+    refs = inv.select("doc_id", "span_pos", F.expr(variant).alias("media_ref"))
+    out = security.classify_refs(refs)
+    return out.withColumnRenamed("media_ref", "ref")
+
+
 def q_s5_csv_prose(spark, sf_dir):
     """Reference CSV semantics: rows flattened to comma-joined prose lines,
     batched into documents (SURVEY S5; reference services.py:55-62)."""
@@ -386,8 +424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_latest_order_per_customer": q_latest_order_per_customer,
         "a1_pricing_summary": q_pricing_summary,
         "j1_props_parse": q_j1_props_parse,
+        "j2_json_repair": q_j2_json_repair,
         "j3_graph_coercion": q_j3_graph_coercion,
         "p9_graph_checks": q_p9_graph_checks,
+        "p10_media_security": q_p10_media_security,
         "s5_csv_prose": q_s5_csv_prose,
     }
 
@@ -423,7 +463,9 @@ def oracle_sql() -> dict[str, str]:
         "a3_latest_order_per_customer": oracles.latest_order_sql(),
         "a1_pricing_summary": oracles.pricing_summary_sql(),
         "j1_props_parse": oracles.props_parse_sql(),
+        "j2_json_repair": oracles.json_repair_sql(),
         "j3_graph_coercion": oracles.graph_coercion_sql(),
         "p9_graph_checks": oracles.graph_checks_sql(),
+        "p10_media_security": oracles.media_security_sql(),
         "s5_csv_prose": oracles.csv_prose_sql(),
     }

@@ -24,6 +24,34 @@ GRAPH_JSON_SCHEMA = (
 )
 
 
+def repair_json_expr(col: str, dialect: str = "spark") -> str:
+    """J2: the reference's common-issue JSON repair (services.py:294-320) as
+    a regexp_replace chain — trim to outermost braces, strip trailing
+    commas, quote bare keys, quote bare string values.
+
+    Rendered per engine: Spark SQL string literals treat ``\\`` as an escape
+    (so regex backslashes are doubled) and use ``$1`` backreferences; DuckDB
+    literals are escape-free, uses ``\\1``, and needs the ``'g'`` flag.
+    """
+    spark = dialect == "spark"
+    g1, g2 = ("$1", "$2") if spark else ("\\1", "\\2")
+
+    def lit(rx: str) -> str:
+        return rx.replace("\\", "\\\\") if spark else rx
+
+    def rr(expr: str, pat: str, rep: str) -> str:
+        flag = "" if spark else ", 'g'"
+        return f"regexp_replace({expr}, '{lit(pat)}', '{rep}'{flag})"
+
+    outer_rx = lit(r"(?s)\{.*\}")
+    e = f"regexp_extract({col}, '{outer_rx}', 0)"
+    e = rr(e, r",\s*\}", "}")
+    e = rr(e, r",\s*\]", "]")
+    e = rr(e, r"([\{,]\s*)(\w+):", f'{g1}"{g2}":')
+    e = rr(e, r':\s*([^",\{\[\s][^,\}]*?)(\s*[,\}])', f': "{g1}"{g2}')
+    return e
+
+
 def parse_graph_json(df: DataFrame, json_col: str, out_col: str = "graph") -> DataFrame:
     """J1: parse a JSON graph document; malformed input → null struct."""
     return df.withColumn(out_col, F.from_json(F.col(json_col), GRAPH_JSON_SCHEMA))

@@ -547,6 +547,69 @@ FROM events
 """.strip()
 
 
+#: deterministic broken-JSON construction shared by engine and oracle —
+#: prose prefix, bare key, bare value, trailing commas in array and object
+BROKEN_JSON_EXPR = (
+    "concat('Reply: {k: ', cast({k} as string), "
+    "', name: acme widgets, tags: [\"a\",\"b\",],}')"
+)
+
+
+def json_repair_sql() -> str:
+    from kgx.operators.jsonio import repair_json_expr
+
+    k = "CAST(json_extract(props, '$.k') AS INT)"
+    broken = BROKEN_JSON_EXPR.replace("{k}", k).replace("cast(", "CAST(").replace(" as string", " AS VARCHAR")
+    repaired = repair_json_expr("broken", dialect="duckdb")
+    return f"""
+WITH b AS (SELECT event_id, {broken} AS broken FROM events),
+r AS (SELECT event_id, {repaired} AS fixed FROM b)
+SELECT event_id,
+       json_extract_string(fixed, '$.k') AS k_str,
+       json_extract_string(fixed, '$.name') AS name,
+       array_to_string(CAST(json_extract(fixed, '$.tags') AS VARCHAR[]), '|') AS tags
+FROM r
+""".strip()
+
+
+_P10_VARIANT = """
+CASE span_pos % 4
+  WHEN 0 THEN media_ref
+  WHEN 1 THEN regexp_replace(media_ref, '{dot}png$', '.exe'{flag})
+  WHEN 2 THEN media_ref || '/../steal.png'
+  ELSE regexp_replace(media_ref, '{dot}png$', '.xyz'{flag})
+END
+""".strip()
+
+
+def media_security_sql() -> str:
+    from kgx.operators.security import ALLOWED_EXTENSIONS, DANGEROUS_EXTENSIONS
+
+    allowed = ", ".join(f"'{e}'" for e in ALLOWED_EXTENSIONS)
+    dangerous = ", ".join(f"'{e}'" for e in DANGEROUS_EXTENSIONS)
+    variant = _P10_VARIANT.format(dot=r"\.", flag="")
+    inv = media_inventory_sql()
+    return f"""
+WITH inv AS (
+{inv}
+),
+refs AS (SELECT doc_id, span_pos, {variant} AS ref FROM inv),
+cls AS (
+    SELECT doc_id, span_pos, ref,
+           lower(regexp_extract(ref, '\\.([A-Za-z0-9]+)$', 1)) AS ext,
+           regexp_matches(ref, '(\\.\\.|%00|%2e%2e)') AS is_suspicious
+    FROM refs
+)
+SELECT doc_id, span_pos, ref, ext,
+       ext IN ({allowed}) AS is_allowed,
+       ext IN ({dangerous}) AS is_dangerous,
+       is_suspicious,
+       (ext IN ({allowed}) AND NOT ext IN ({dangerous}) AND NOT is_suspicious)
+           AS accepted
+FROM cls
+""".strip()
+
+
 def graph_checks_sql() -> str:
     """Per-doc validation metrics (P7-P9) recomputed from the extraction
     CTEs; every narrative doc satisfies the caps, so is_valid must be TRUE
