@@ -1,0 +1,68 @@
+"""applyInPandasWithState: dedup state survives micro-batches AND restarts."""
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+
+from kgx.streaming import stateful
+
+
+def _write_batch(spark, in_dir, rows):
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("append").parquet(in_dir)
+
+
+def _run_catchup(spark, in_dir, out_dir):
+    stream = (
+        spark.readStream.schema("doc_id string, fingerprint string").parquet(in_dir)
+    )
+    q = (
+        stateful.streaming_dedup(stream, n_shards=4)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "deduped"))
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stateful_dedup_across_batches_and_restarts(spark):
+    in_dir = tempfile.mkdtemp(prefix="st_in_")
+    out_dir = tempfile.mkdtemp(prefix="st_out_")
+    try:
+        _write_batch(
+            spark,
+            in_dir,
+            [
+                {"doc_id": "a", "fingerprint": "f1"},
+                {"doc_id": "b", "fingerprint": "f2"},
+                {"doc_id": "a2", "fingerprint": "f1"},  # dup within batch
+            ],
+        )
+        _run_catchup(spark, in_dir, out_dir)
+
+        # restart with a second drop: f2 repeats (cross-restart state),
+        # f3 is new
+        _write_batch(
+            spark,
+            in_dir,
+            [
+                {"doc_id": "b2", "fingerprint": "f2"},
+                {"doc_id": "c", "fingerprint": "f3"},
+            ],
+        )
+        _run_catchup(spark, in_dir, out_dir)
+
+        got = {
+            (r["fingerprint"])
+            for r in spark.read.parquet(os.path.join(out_dir, "deduped")).collect()
+        }
+        rows = spark.read.parquet(os.path.join(out_dir, "deduped")).collect()
+        assert got == {"f1", "f2", "f3"}
+        assert len(rows) == 3  # every fingerprint admitted exactly once
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -1,0 +1,67 @@
+"""Regenerate docs/PLANS.md — formatted-explain excerpts for key queries."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEEP = (
+    "Scan parquet", "ReadSchema", "PushedFilters", "Join", "InPandas",
+    "Exchange", "HashAggregate", "Window", "Generate",
+)
+
+SECTIONS = [
+    ("kg_triples",
+     "One MapInPandas node feeds the whole graph family; scan reads ONLY (doc_id, text)."),
+    ("jn6_customers_no_orders",
+     "Filter pushed into the orders scan; anti join broadcast (BuildRight)."),
+    ("a1_pricing_summary",
+     "Partial HashAggregate before the exchange (map-side combine); 5-column pruned scan."),
+    ("dedup_minhash_lsh",
+     "Signatures are per-row array aggregates (no exchange until the band bucket join)."),
+    ("ann_ivf_topk",
+     "Centroid/query sides broadcast; probe join keyed by cell."),
+]
+
+
+def main() -> None:
+    from kgx.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("plan-audit", master="local[8]")
+    sf = "/root/testdata/sf0.01"
+    qs = entrymod.queries()
+
+    def trimmed(df) -> str:
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        lines = [l.rstrip()[:160] for l in plan.splitlines() if any(k in l for k in KEEP)]
+        return "\n".join(lines[:40])
+
+    parts = [
+        f"## {name}\n\n{note}\n\n```\n{trimmed(qs[name](spark, sf))}\n```\n"
+        for name, note in SECTIONS
+    ]
+    doc = (
+        "# Physical plan audit (sf0.01, local[8])\n\n"
+        '`explain("formatted")` excerpts for representative queries — the evidence\n'
+        "that plans are the ones a 100 TB run needs: pruned scans, pushed filters,\n"
+        "broadcast small sides, partial aggregation, and exactly one Python crossing\n"
+        "in the extraction family. Regenerate with `python tools/plan_audit.py`.\n\n"
+        + "\n".join(parts)
+    )
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"), exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md"),
+        "w",
+    ) as f:
+        f.write(doc)
+    print("docs/PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
