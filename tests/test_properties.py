@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the rule engine's invariants.
+
+These don't compare against the reference (the golden fixtures do that);
+they pin the structural invariants any input must satisfy, over adversarial
+generated text — the regex engine's undefined corners are exactly where a
+re-implementation would silently drift.
+"""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from kgx.operators import rules
+
+# text alphabet biased toward the interesting cases: capitalized words,
+# stop words, connector phrases, punctuation, digits, CamelCase
+WORDS = st.sampled_from(
+    [
+        "John", "Doe", "Acme", "Corporation", "The", "In", "It", "is",
+        "the", "CEO", "of", "works", "at", "founded", "in", "acquired",
+        "manages", "TechStart", "SmartBot", "New", "York", "2020", "a",
+        "serves", "as", "CTO", "developed", "called", "used", "by",
+    ]
+)
+TEXTS = st.lists(
+    st.one_of(WORDS, st.sampled_from([".", "!", "?", ","])), min_size=0, max_size=80
+).map(lambda toks: " ".join(toks))
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS)
+def test_structural_invariants(text):
+    nodes, edges, triples = rules.extract_document(text)
+
+    # determinism / idempotence
+    assert (nodes, edges, triples) == rules.extract_document(text)
+
+    labels = [l for _, l, _ in nodes]
+    # cap and uniqueness
+    assert len(nodes) <= rules.MENTION_CAP
+    assert len(set(labels)) == len(labels)
+    # node ids sequential in order
+    assert [n for n, _, _ in nodes] == [f"n{i+1}" for i in range(len(nodes))]
+    # every label matches the mention pattern and is not a bare stop word
+    for l in labels:
+        assert re.fullmatch(r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*", l)
+        assert l not in rules.STOP_WORDS
+    # labels appear in first-occurrence order of the unfiltered scan
+    scan = [m for m in rules.MENTION_RX.findall(text) if m not in rules.STOP_WORDS]
+    firsts = list(dict.fromkeys(scan))[: rules.MENTION_CAP]
+    assert labels == firsts
+
+    # edges/triples aligned; endpoints resolve to real nodes; no self-loops;
+    # no duplicate (src, dst, rel)
+    by_id = {n: l for n, l, _ in nodes}
+    assert len(edges) == len(triples)
+    assert len(set(edges)) == len(edges)
+    for (s, d, r), (subj, pred, obj) in zip(edges, triples):
+        assert s in by_id and d in by_id and s != d
+        assert by_id[s] == subj and by_id[d] == obj and r == pred
+        assert r in {
+            "ceo_of", "cto_of", "works_at", "founded", "located_in",
+            "acquired", "manages", "member_of", "developed", "used_by",
+        }
+    # types come from the closed vocabulary
+    assert {t for _, _, t in nodes} <= {
+        "Person", "Organization", "Location", "Technology", "JobTitle", "Entity"
+    }
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS)
+def test_classify_entity_total(text):
+    """classify_entity never raises on any (label, context) we can produce."""
+    for m in set(rules.MENTION_RX.findall(text)):
+        assert rules.classify_entity(m, text) in {
+            "Person", "Organization", "Location", "Technology", "JobTitle", "Entity"
+        }
+
+
+def test_span_roundtrip_randomized_bulk(spark):
+    """Randomized (seeded) span arrays — arbitrary kinds/texts/media_refs,
+    including empty docs and media-only docs — survive explode → shuffle →
+    reassemble exactly."""
+    import random
+
+    from kgx.operators import spans as spans_op
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(100):
+        n = rng.randint(0, 12)
+        span_list = []
+        for p in range(n):
+            if rng.random() < 0.3:
+                span_list.append(("media", "", f"s3://m/{i}-{p}.png", p))
+            else:
+                txt = " ".join(rng.choices(["Alpha", "beta", "Gamma Delta", "", "x.y!"], k=rng.randint(0, 4)))
+                span_list.append(("text", txt, "", p))
+        rows.append((f"doc-{i}", span_list))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    nonempty = df.where("size(spans) > 0")
+    rebuilt = spans_op.reassemble_spans(spans_op.explode_spans(nonempty).repartition(16))
+    from pyspark.sql import functions as F
+
+    joined = nonempty.alias("a").join(rebuilt.alias("b"), "doc_id")
+    assert joined.count() == nonempty.count()
+    assert joined.where(F.expr("a.spans != b.spans")).count() == 0
