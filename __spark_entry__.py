@@ -310,6 +310,88 @@ def q_s5_csv_prose(spark, sf_dir):
     )
 
 
+def q_jn2_graph_fetch(spark, sf_dir):
+    """JN2 star join + A4 list assembly + W1 ordering (reference
+    database_service.py:175-235): every document left-joined to its node and
+    triple sets, arrays assembled in explicit sorted order (span-order-safe
+    after shuffles), empty graphs preserved with zero counts."""
+    g = _graphs(spark, sf_dir).cache()
+    from kgx.operators import extract
+
+    nodes = extract.nodes_table(g)
+    triples = extract.triples_table(g)
+    node_agg = nodes.groupBy("doc_id").agg(
+        F.count("*").alias("n_nodes"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct("
+            "cast(substring(node_id, 2, 10) as int) as r, "
+            "concat(node_id, ':', label) as s))), x -> x.s), '|')"
+        ).alias("node_list"),
+    )
+    trip_agg = triples.groupBy("doc_id").agg(
+        F.count("*").alias("n_triples"),
+        F.expr(
+            "array_join(array_sort(collect_list(concat(subj, '>', pred, '>', obj))), '|')"
+        ).alias("triple_list"),
+    )
+    docs = _spans(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(node_agg, "doc_id", "left")
+        .join(trip_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("node_list", F.lit("")).alias("node_list"),
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+            F.coalesce("triple_list", F.lit("")).alias("triple_list"),
+        )
+    )
+
+
+def q_fn_scalar_suite(spark, sf_dir):
+    """§2.9 scalar-function family in one projection: sha2/md5 content hashes
+    (security.py:284-294, 258), 2000-char prompt truncation (services.py:375),
+    regexp_replace sanitizer (validators.py:76), concat_ws update-path append
+    (main.py:235), lower/trim normalization. Zero shuffles."""
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.length(F.substring("text", 1, 2000)).cast("int").alias("prompt_chars"),
+        F.md5(F.regexp_replace("text", "[^A-Za-z0-9 ]", "_")).alias("sanitized_md5"),
+        F.length(F.concat_ws("\n", F.col("text"), F.lit("appended update text")))
+        .cast("int")
+        .alias("updated_chars"),
+        F.lower(F.trim(F.substring("text", 1, 40))).alias("head_norm"),
+    )
+
+
+def q_p6_p8_text_gate(spark, sf_dir):
+    """P6/P8 ingest predicates (empty short-circuit services.py:81-83; 1 MB
+    cap validators.py:392-412) over deterministically planted empty /
+    whitespace-only / oversize variants."""
+    d = _documents(spark, sf_dir)
+    t = (
+        F.when(F.col("doc_id") % 31 == 7, F.lit("   "))
+        .when(F.col("doc_id") % 31 == 13, F.lit(""))
+        .when(
+            F.col("doc_id") % 31 == 1,
+            F.concat(F.col("text"), F.expr("repeat('x', 1000001)")),
+        )
+        .otherwise(F.col("text"))
+    )
+    v = d.select("doc_id", t.alias("t"))
+    return v.select(
+        "doc_id",
+        F.when(F.length(F.trim("t")) == 0, F.lit("empty"))
+        .when(F.length("t") > 1000000, F.lit("oversize"))
+        .otherwise(F.lit("valid"))
+        .alias("gate"),
+        F.length("t").cast("long").alias("n_chars"),
+    )
+
+
 # --- relational operator family (SURVEY §2.5 JN3/JN6, §2.6 A1-A3/A6,
 # --- §2.7 W1-W3) over the TPC-H-ish tables ---------------------------------
 
@@ -423,6 +505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jn6_customers_with_orders": q_customers_with_orders,
         "a3_latest_order_per_customer": q_latest_order_per_customer,
         "a1_pricing_summary": q_pricing_summary,
+        "jn2_graph_fetch": q_jn2_graph_fetch,
+        "fn_scalar_suite": q_fn_scalar_suite,
+        "p6_p8_text_gate": q_p6_p8_text_gate,
         "j1_props_parse": q_j1_props_parse,
         "j2_json_repair": q_j2_json_repair,
         "j3_graph_coercion": q_j3_graph_coercion,
@@ -462,6 +547,9 @@ def oracle_sql() -> dict[str, str]:
         "jn6_customers_with_orders": oracles.customers_with_orders_sql(),
         "a3_latest_order_per_customer": oracles.latest_order_sql(),
         "a1_pricing_summary": oracles.pricing_summary_sql(),
+        "jn2_graph_fetch": oracles.graph_fetch_sql(),
+        "fn_scalar_suite": oracles.scalar_suite_sql(),
+        "p6_p8_text_gate": oracles.text_gate_sql(),
         "j1_props_parse": oracles.props_parse_sql(),
         "j2_json_repair": oracles.json_repair_sql(),
         "j3_graph_coercion": oracles.graph_coercion_sql(),

@@ -725,8 +725,9 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """.strip()
 
 
-def triples_sql() -> str:
-    """Oracle for label-resolved (subj, pred, obj) triples — the P/R unit."""
+def _triples_ctes() -> str:
+    """CTE chain ``sentences … resolved`` (assumes _BASE + _NODES_CTES are in
+    scope).  Shared by triples_sql and graph_fetch_sql."""
     two_group = [
         (rx, rel)
         for rx, rel in rules.RELATION_PATTERN_SPECS
@@ -744,8 +745,6 @@ def triples_sql() -> str:
     f3 = f"'(?i){three_group[0][0]}'"
     f3_rel = f"'{three_group[0][1]}'"
     return f"""
-{_BASE},
-{_NODES_CTES},
 sentences AS (
     SELECT doc_id,
            regexp_replace(unnest(regexp_split_to_array(text, '[.!?]+')),
@@ -786,5 +785,90 @@ resolved AS (
                  AND lower(tn.label) = lower(c.dst_label)
     WHERE sn.node_id <> tn.node_id
 )
+""".strip()
+
+
+def triples_sql() -> str:
+    """Oracle for label-resolved (subj, pred, obj) triples — the P/R unit."""
+    return f"""
+{_BASE},
+{_NODES_CTES},
+{_triples_ctes()}
 SELECT DISTINCT doc_id, subj, pred, obj FROM resolved
+""".strip()
+
+
+def graph_fetch_sql() -> str:
+    """Oracle for the JN2 star join + A4 list assembly (reference
+    database_service.py:175-235 ``get_document_graph_optimized``): every
+    document joined to its node and triple sets, arrays assembled in sorted
+    order, empty graphs preserved with zero counts."""
+    return f"""
+{_BASE},
+{_NODES_CTES},
+{_triples_ctes()},
+trip AS (SELECT DISTINCT doc_id, subj, pred, obj FROM resolved),
+node_agg AS (
+    SELECT doc_id,
+           count(*) AS n_nodes,
+           string_agg(node_id || ':' || label, '|' ORDER BY rnk) AS node_list
+    FROM nodes GROUP BY doc_id
+),
+trip_agg AS (
+    SELECT doc_id,
+           count(*) AS n_triples,
+           string_agg(subj || '>' || pred || '>' || obj, '|'
+                      ORDER BY subj || '>' || pred || '>' || obj) AS triple_list
+    FROM trip GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n.n_nodes, 0) AS n_nodes,
+       COALESCE(n.node_list, '') AS node_list,
+       COALESCE(t.n_triples, 0) AS n_triples,
+       COALESCE(t.triple_list, '') AS triple_list
+FROM doctext d
+LEFT JOIN node_agg n USING (doc_id)
+LEFT JOIN trip_agg t USING (doc_id)
+""".strip()
+
+
+def scalar_suite_sql() -> str:
+    """Oracle for the §2.9 scalar-function family (sha2/md5/substr/
+    regexp_replace sanitizer/concat_ws update/trim+lower) over raw documents."""
+    return r"""
+SELECT doc_id,
+       sha256(text) AS sha256_hex,
+       md5(text) AS md5_hex,
+       CAST(length(substr(text, 1, 2000)) AS INT) AS prompt_chars,
+       md5(regexp_replace(text, '[^A-Za-z0-9 ]', '_', 'g')) AS sanitized_md5,
+       CAST(length(concat_ws(chr(10), text, 'appended update text')) AS INT)
+           AS updated_chars,
+       lower(trim(substr(text, 1, 40))) AS head_norm
+FROM documents
+""".strip()
+
+
+def text_gate_sql() -> str:
+    """Oracle for the P6/P8 text predicates (empty short-circuit, 1 MB cap)
+    over documents with deterministically planted empty / whitespace-only /
+    oversize variants."""
+    return """
+WITH variant AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 31 = 7 THEN '   '
+             WHEN doc_id % 31 = 13 THEN ''
+             WHEN doc_id % 31 = 1 THEN text || repeat('x', 1000001)
+             ELSE text
+           END AS t
+    FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN length(trim(t)) = 0 THEN 'empty'
+         WHEN length(t) > 1000000 THEN 'oversize'
+         ELSE 'valid'
+       END AS gate,
+       CAST(length(t) AS BIGINT) AS n_chars
+FROM variant
 """.strip()
