@@ -31,6 +31,7 @@ process), so per-batch cost is pure matching.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Dict, List, Sequence, Tuple
 
 # --------------------------------------------------------------------------
@@ -103,6 +104,34 @@ RELATION_PATTERNS: List[Tuple[re.Pattern, str]] = [
     (re.compile(p, re.IGNORECASE), rel) for p, rel in RELATION_PATTERN_SPECS
 ]
 
+#: Cheap substring pre-filters, aligned 1:1 with RELATION_PATTERNS.  Each
+#: regex contains a mandatory literal keyword; if none of a pattern's
+#: keywords occur in the lowercased sentence the regex cannot match, so the
+#: (much more expensive) findall is skipped.  Pure optimization — the guard
+#: keywords are provably required by the corresponding pattern literals
+#: above, so match results are byte-identical with or without the guards.
+_RELATION_GUARDS: List[Tuple[str, ...]] = [
+    ("ceo",),
+    ("cto",),
+    ("work",),
+    ("founded",),
+    ("founded", "established", "created", "started"),
+    ("in",),
+    ("headquartered", "located", "based"),
+    ("located",),
+    ("acquired",),
+    ("acquired", "bought", "purchased"),
+    ("manage", "lead", "led", "oversee"),
+    ("serves",),
+    ("serves",),
+    ("called",),
+    ("developed", "built", "designed", "created"),
+    ("used",),
+]
+assert len(_RELATION_GUARDS) == len(RELATION_PATTERNS)
+
+_GUARDED_PATTERNS = list(zip(RELATION_PATTERNS, _RELATION_GUARDS))
+
 # Entity-type keyword cascades (services.py:514-531); order matters.
 _ORG_KEYWORDS = (
     "corporation", "corp", "company", "inc", "ltd", "llc",
@@ -119,6 +148,19 @@ _TITLE_KEYWORDS = (
 )
 
 
+@lru_cache(maxsize=65536)
+def _person_context_patterns(label: str) -> Tuple[re.Pattern, ...]:
+    """Compiled person-context regexes for one label.  Labels repeat heavily
+    across documents, so caching avoids recompiling (and thrashing the small
+    ``re`` module cache) once per (label, doc) pair."""
+    esc = re.escape(label)
+    return (
+        re.compile(rf"{esc}\s+(?:is|was|works|worked|manages|founded)", re.IGNORECASE),
+        re.compile(rf"(?:Mr\.|Mrs\.|Dr\.|Ms\.)\s+{esc}", re.IGNORECASE),
+        re.compile(rf"{esc}\s+(?:serves as|joined|left)", re.IGNORECASE),
+    )
+
+
 def classify_entity(label: str, doc_text: str) -> str:
     """Entity-type heuristic (services.py:507-547). Order of checks matters."""
     low = label.lower()
@@ -130,14 +172,8 @@ def classify_entity(label: str, doc_text: str) -> str:
         return "Technology"
     if any(k in low for k in _TITLE_KEYWORDS):
         return "JobTitle"
-    esc = re.escape(label)
-    person_context = (
-        rf"{esc}\s+(?:is|was|works|worked|manages|founded)",
-        rf"(?:Mr\.|Mrs\.|Dr\.|Ms\.)\s+{esc}",
-        rf"{esc}\s+(?:serves as|joined|left)",
-    )
-    for pat in person_context:
-        if re.search(pat, doc_text, re.IGNORECASE):
+    for pat in _person_context_patterns(label):
+        if pat.search(doc_text):
             return "Person"
     parts = label.split()
     if len(parts) == 2 and all(w[0].isupper() for w in parts):
@@ -208,7 +244,10 @@ def extract_document(
         sentence = sentence.strip()
         if not sentence:
             continue
-        for rx, rel in RELATION_PATTERNS:
+        s_low = sentence.lower()
+        for (rx, rel), guards in _GUARDED_PATTERNS:
+            if not any(g in s_low for g in guards):
+                continue
             for match in rx.findall(sentence):
                 if len(match) == 3:
                     subj, obj, loc = match
