@@ -76,15 +76,28 @@ def main() -> None:
 
     out_dir = tempfile.mkdtemp(prefix="kgx_bench_")
     try:
+        from pyspark.sql import functions as F
+
+        n_buckets = max(2 * cpus, 16)
         documents = corpus.replicate(
             docs_src.load_documents(spark, sf_dir), replicate_factor
+        )
+        # partition the cheap raw rows by final (bucket, salt) BEFORE span
+        # synthesis: extraction + partitioned writes then run with zero
+        # full-data shuffles (production analogue: Iceberg bucket(doc_id))
+        documents = pipeline.prepartition_raw(
+            documents,
+            n_buckets,
+            final_doc_id=F.concat(F.lit("doc-"), F.col("doc_id").cast("string")),
         )
         docs = docs_src.spans_table(corpus.narrative_documents(documents))
         t0 = time.time()
         metrics = pipeline.run(
             spark,
             docs,
-            pipeline.PipelineConfig(out_dir=out_dir, n_buckets=max(2 * cpus, 16), resume=False),
+            pipeline.PipelineConfig(
+                out_dir=out_dir, n_buckets=n_buckets, resume=False, presplit=True
+            ),
         )
         pipeline_sec = time.time() - t0
         timings["kg_pipeline_e2e"] = round(pipeline_sec, 3)

@@ -50,6 +50,10 @@ class PipelineConfig:
     n_buckets: int = 64
     salt_factor: int = 4          # tasks per bucket for the extraction stage
     resume: bool = True
+    presplit: bool = False        # input already partitioned by (bucket, salt)
+                                  # — skip the internal salted repartition
+                                  # (production: Iceberg bucket(doc_id) table
+                                  # layout makes the scan arrive aligned)
     run_id: str | None = None
     validate: bool = False        # P7-P9 sanity gate between extract & write
     canonicalize: bool = False    # north star: alias/CC canonical map +
@@ -60,6 +64,35 @@ class PipelineConfig:
 def _bucketed(docs: DataFrame, n_buckets: int) -> DataFrame:
     return docs.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def prepartition_raw(
+    raw: DataFrame,
+    n_buckets: int,
+    salt_factor: int = 4,
+    final_doc_id=None,
+) -> DataFrame:
+    """Partition RAW (pre-synthesis) rows by (bucket, salt) of their final
+    ``doc_id`` so that span synthesis, extraction, and the bucket-partitioned
+    writes all run map-side with zero further shuffles (pass
+    ``presplit=True`` to :func:`run`).
+
+    The shuffle this performs moves only the cheap raw columns — orders of
+    magnitude less I/O than repartitioning synthesized span structs or
+    extracted graph structs.  On a real cluster the same effect comes for
+    free from an Iceberg ``bucket(N, doc_id)`` table layout.
+
+    ``final_doc_id`` must be the expression producing the doc_id the
+    pipeline will see (e.g. ``concat('doc-', cast(doc_id as string))`` for
+    the sandbox spans synthesis), else bucket alignment silently breaks and
+    the partitioned write degrades to tasks×buckets files.
+    """
+    fid = final_doc_id if final_doc_id is not None else F.col("doc_id")
+    return raw.repartition(
+        n_buckets * salt_factor,
+        F.pmod(F.xxhash64(fid), F.lit(n_buckets)),
+        F.pmod(F.xxhash64(fid, F.lit(1)), F.lit(salt_factor)),
     )
 
 
@@ -75,12 +108,23 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
     if done:
         bucketed = bucketed.where(~F.col("bucket").isin(sorted(done)))
 
-    # skew-aware spread: bucket × salt so no single bucket serializes a stage
-    salted = bucketed.repartition(
-        cfg.n_buckets * cfg.salt_factor,
-        "bucket",
-        F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(cfg.salt_factor)),
-    )
+    if cfg.presplit:
+        # caller pre-partitioned the RAW rows by (bucket, salt) before span
+        # synthesis (see prepartition_raw) — extraction runs map-side on
+        # aligned partitions and every task holds exactly one bucket, so the
+        # partitioned write below needs no shuffle either: zero full-data
+        # shuffles end-to-end
+        salted = bucketed
+    else:
+        # skew-aware spread: bucket × salt so no single bucket serializes a
+        # stage.  NOTE this shuffles the full span payload — callers that can
+        # partition upstream (Iceberg bucket(doc_id) layout, or
+        # prepartition_raw before synthesis) should, and pass presplit=True
+        salted = bucketed.repartition(
+            cfg.n_buckets * cfg.salt_factor,
+            "bucket",
+            F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(cfg.salt_factor)),
+        )
 
     graphs = extract.extract_graphs(spans_op.with_doc_text(salted))
     if cfg.validate:
@@ -93,12 +137,13 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
 
     graphs_path = os.path.join(cfg.out_dir, "graphs")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # align write partitioning with the bucket layout: one shuffle, one file
-    # per bucket — without this, every extraction task writes into every
-    # bucket directory (tasks × buckets tiny files)
-    graphs.repartition(cfg.n_buckets, "bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(graphs_path)
+    # align write partitioning with the bucket layout — without alignment,
+    # every extraction task writes into every bucket directory (tasks ×
+    # buckets tiny files).  presplit input is already aligned (each task
+    # holds one bucket → salt_factor files per bucket, no shuffle); otherwise
+    # one repartition gives one file per bucket.
+    aligned = graphs if cfg.presplit else graphs.repartition(cfg.n_buckets, "bucket")
+    aligned.write.mode("overwrite").partitionBy("bucket").parquet(graphs_path)
 
     # derive flat tables from the materialized graphs (extraction ran once);
     # these are pure JVM explodes — no second Python pass.  The three writes

@@ -45,7 +45,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", "24g"))
+        # v2 commit algorithm: tasks move their own output files, so job
+        # commit is O(partition dirs) instead of O(files) of serial driver
+        # renames — measurable on every partitionBy write (4 tables × 64
+        # bucket dirs here), decisive on object stores at cluster scale
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

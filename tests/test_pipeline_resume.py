@@ -71,3 +71,45 @@ def test_resume_skips_completed_buckets(spark, docs):
     finally:
         shutil.rmtree(out_resume, ignore_errors=True)
         shutil.rmtree(out_clean, ignore_errors=True)
+
+
+def test_presplit_equals_default_path(spark, sf_dir):
+    """presplit=True (bucket-aligned raw pre-partitioning, zero full-data
+    shuffles) must produce exactly the same triples as the default salted-
+    repartition path."""
+    out_a = tempfile.mkdtemp(prefix="kgx_presplit_")
+    out_b = tempfile.mkdtemp(prefix="kgx_default_")
+    try:
+        n_buckets = 8
+        raw = docs_src.load_documents(spark, sf_dir)
+        pre = pipeline.prepartition_raw(
+            raw,
+            n_buckets,
+            salt_factor=2,
+            final_doc_id=F.concat(F.lit("doc-"), F.col("doc_id").cast("string")),
+        )
+        docs_pre = docs_src.spans_table(corpus.narrative_documents(pre))
+        pipeline.run(
+            spark,
+            docs_pre,
+            pipeline.PipelineConfig(
+                out_dir=out_a, n_buckets=n_buckets, resume=False, presplit=True
+            ),
+        )
+        docs_plain = docs_src.spans_table(corpus.narrative_documents(raw))
+        pipeline.run(
+            spark,
+            docs_plain,
+            pipeline.PipelineConfig(out_dir=out_b, n_buckets=n_buckets, resume=False),
+        )
+        assert _triples_set(spark, out_a) == _triples_set(spark, out_b)
+        # alignment invariant: every graphs file holds exactly one bucket,
+        # so file count stays O(buckets x salt), not O(tasks x buckets)
+        import glob
+        import os
+
+        files = glob.glob(os.path.join(out_a, "graphs", "bucket=*", "*.parquet"))
+        assert 0 < len(files) <= n_buckets * 2 + n_buckets
+    finally:
+        shutil.rmtree(out_a, ignore_errors=True)
+        shutil.rmtree(out_b, ignore_errors=True)
