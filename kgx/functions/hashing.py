@@ -25,3 +25,26 @@ def seeded(expr: str, seed: int | str, dialect: str) -> str:
     """Hash of ``'<seed>|' || expr`` — family of independent hash functions."""
     salted = f"concat('{seed}', '|', {expr})"
     return spark_md5_60(salted) if dialect == "spark" else duckdb_md5_60(salted)
+
+
+#: Mersenne prime 2^31 - 1 for the universal-hash MinHash family.
+MERSENNE31 = 2147483647
+
+
+def _uh_coeffs(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) pair for seed — a is odd and nonzero mod p."""
+    a = (1103515245 * (seed + 1) + 12345) % MERSENNE31
+    if a % 2 == 0:
+        a += 1
+    b = (69069 * (seed + 1) + 1) % MERSENNE31
+    return a, b
+
+
+def minhash_derived(base_expr: str, seed: int) -> str:
+    """Universal-hash derivation ``(a * (h % p) + b) % p`` from ONE base
+    md5-60 hash — dialect-free integer arithmetic (identical in Spark SQL and
+    DuckDB), so a whole MinHash family costs one md5 per shingle instead of
+    ``num_hashes`` md5s.  All intermediates fit signed 64-bit:
+    a < 2^31, h % p < 2^31 ⇒ product < 2^62."""
+    a, b = _uh_coeffs(seed)
+    return f"(({a} * ({base_expr} % {MERSENNE31}) + {b}) % {MERSENNE31})"

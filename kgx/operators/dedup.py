@@ -114,16 +114,25 @@ def ngram_jaccard_pairs(
 def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 16) -> DataFrame:
     """(doc_id, sig array<bigint>) — per-row computation, zero shuffle.
 
-    sig[s] = min over shingles of md5_60('<s>|' || shingle); docs with no
-    shingles are dropped (shorter than n tokens)."""
+    One md5-60 base hash per shingle, then the whole signature via the
+    universal-hash family sig[s] = min over shingles of
+    (a_s * h + b_s) mod p (kgx.functions.hashing.minhash_derived) — 16x
+    fewer md5 evaluations than hashing each (seed, shingle) pair; docs with
+    no shingles are dropped (shorter than n tokens)."""
     mins = ", ".join(
-        "aggregate(shingles, cast(9223372036854775807 as bigint), "
-        f"(acc, x) -> least(acc, {hashing.seeded('x', s, 'spark')}))"
+        "aggregate(hs, cast(9223372036854775807 as bigint), "
+        f"(acc, x) -> least(acc, {hashing.minhash_derived('x', s)}))"
         for s in range(num_hashes)
     )
     return (
         documents.select("doc_id", F.expr(_shingle_expr(n)).alias("shingles"))
         .where(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(shingles, s -> {hashing.spark_md5_60('s')})"
+            ).alias("hs"),
+        )
         .select("doc_id", F.expr(f"array({mins})").alias("sig"))
     )
 

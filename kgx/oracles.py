@@ -253,11 +253,11 @@ SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= {threshold}
 def dedup_minhash_sql(
     num_hashes: int = 16, bands: int = 8, threshold: float = 0.5, max_bucket: int = 200
 ) -> str:
-    from kgx.functions.hashing import seeded
+    from kgx.functions.hashing import minhash_derived
 
     rows = num_hashes // bands
     sig_cols = ",\n           ".join(
-        f"min({seeded('shingle', s, 'duckdb')}) AS s{s}" for s in range(num_hashes)
+        f"min({minhash_derived('hs', s)}) AS s{s}" for s in range(num_hashes)
     )
     band_cases = "\n             ".join(
         f"WHEN {b} THEN md5(concat_ws('_', "
@@ -267,7 +267,8 @@ def dedup_minhash_sql(
     )
     return f"""
 WITH {_JACCARD_CTES},
-shw AS (SELECT doc_id, unnest({_duck_shingles()}) AS shingle FROM documents),
+shw AS (SELECT doc_id, {_duck_md5_60('shingle')} AS hs
+        FROM (SELECT doc_id, unnest({_duck_shingles()}) AS shingle FROM documents)),
 sig AS (
     SELECT doc_id,
            {sig_cols}
