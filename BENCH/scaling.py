@@ -86,10 +86,22 @@ def hardware_retention(n_lo: int, n_hi: int, reps: int = 3) -> float:
     return round(best(n_lo) / best(n_hi), 3)
 
 
-def measure(cpus: int, factor: int) -> dict:
+def measure(cpus: int, factor: int, pin: bool = True) -> dict:
+    """Run the pipeline at local[cpus] in a fresh process.
+
+    ``pin=True`` confines the ENTIRE process tree (JVM task threads, GC,
+    Python workers, shuffle I/O) to exactly ``cpus`` physical cores via
+    taskset — the faithful analogue of an N-core executor container
+    (YARN/K8s cpuset).  Without pinning, a local[2] run borrows the host's
+    idle 30 cores for its Python workers and GC, overstating low-parallelism
+    throughput and understating scaling efficiency.
+    """
     script = CHILD.format(repo=REPO)
+    cmd = [sys.executable, "-c", script, str(cpus), str(factor)]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(factor)],
+        cmd,
         capture_output=True, text=True, timeout=3600,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -120,13 +132,18 @@ def main() -> None:
         for cpus in levels:
             s = measure(cpus, factor)
             s["factor"] = factor
+            s["pinned"] = True
             with open(SAMPLES_PATH, "a") as f:
                 f.write(json.dumps(s) + "\n")
+    # minima are computed over PINNED samples only — unpinned history
+    # (kept in the file for the record) let low-core runs borrow idle host
+    # cores and is not comparable
     history: dict[tuple, list] = {}
     with open(SAMPLES_PATH) as f:
         for line in f:
             s = json.loads(line)
-            history.setdefault((s["factor"], s["cpus"]), []).append(s)
+            if s.get("pinned"):
+                history.setdefault((s["factor"], s["cpus"]), []).append(s)
     by_factor: dict[int, dict[int, dict]] = {}
     for (fac, cpus), ss in sorted(history.items()):
         best = dict(min(ss, key=lambda r: r["wall_sec"]))
