@@ -143,18 +143,20 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
     # holds one bucket → salt_factor files per bucket, no shuffle); otherwise
     # one repartition gives one file per bucket.
     aligned = graphs if cfg.presplit else graphs.repartition(cfg.n_buckets, "bucket")
-    aligned.write.mode("overwrite").partitionBy("bucket").parquet(graphs_path)
+    # persist the extraction output ONCE (memory, disk spill): the graphs
+    # write, the three flat-table writes, and the metrics aggregation all
+    # consume it without re-running extraction or round-tripping the nested
+    # parquet (write-then-read-4x doubles I/O on a bandwidth that does not
+    # scale with cores — measurably the worst-scaling phase before this)
+    from pyspark import StorageLevel
 
-    # derive flat tables from the materialized graphs (extraction ran once);
-    # these are pure JVM explodes — no second Python pass.  The three writes
-    # + the metrics aggregation are independent jobs over the same committed
-    # input, so they are submitted CONCURRENTLY: the Spark scheduler
-    # interleaves their tasks and the fixed per-job latencies overlap
-    # instead of summing (matters most at low parallelism — this is part of
-    # the scaling-efficiency story, not just polish).
-    stored = spark.read.parquet(graphs_path)
-    if done:  # only rewrite partitions this run computed
-        stored = stored.where(~F.col("bucket").isin(sorted(done)))
+    stored = aligned.persist(StorageLevel.MEMORY_AND_DISK)
+    stored.write.mode("overwrite").partitionBy("bucket").parquet(graphs_path)
+
+    # the three flat writes + metrics are independent jobs over the persisted
+    # extraction output — pure JVM explodes, no second Python pass — and are
+    # submitted CONCURRENTLY so their fixed per-job latencies overlap
+    # instead of summing (matters most at low parallelism).
 
     def _write_flat(args):
         name, fn = args
@@ -191,6 +193,7 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
         metrics_fut = pool.submit(_metrics, None)
         list(flats)
         per_bucket_rows = metrics_fut.result()
+    stored.unpersist()
 
     if cfg.canonicalize:
         # north-star tail: entity linking over ALL committed buckets (the
