@@ -194,11 +194,15 @@ def main() -> None:
 Same job (full KG pipeline: spans → Arrow-batched extraction → materialize
 graphs/nodes/edges/triples + per-bucket lineage, zero full-data shuffles via
 bucket-aligned pre-partitioning), same input per table below, fresh JVM per
-measurement.  Each level is the MINIMUM wall over interleaved repetitions
-accumulated across sessions (all samples in BENCH/scaling_samples.jsonl) —
-the shared host's deliverable throughput varies ±40% across minutes, and
-the minimum is the standard estimator of true capability under external
-interference.
+measurement.  Every run is PINNED to exactly N cores with taskset (JVM,
+GC, shuffle threads, and Python workers all share those N cores — the
+faithful analogue of an N-core executor cpuset; unpinned local[N] would
+let the low-parallelism run borrow idle host cores for its Python workers
+and overstate its throughput).  Each level is the MINIMUM wall over
+interleaved repetitions accumulated across sessions (all samples in
+BENCH/scaling_samples.jsonl) — the shared host's deliverable throughput
+varies ±40% across minutes, and the minimum is the standard estimator of
+true capability under external interference.
 
 {chr(10).join(tables)}
 **Headline N vs 4N (local[2] → local[8], x{hl["factor"]}): efficiency =
