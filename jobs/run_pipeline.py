@@ -41,6 +41,14 @@ def main(argv=None) -> int:
         action="store_true",
         help="input is documents.parquet (doc_id, text); derive spans first",
     )
+    p.add_argument(
+        "--presplit",
+        action="store_true",
+        help="input is already partitioned by (bucket, salt) of doc_id "
+        "(e.g. an Iceberg bucket(N, doc_id) table) — the pipeline then runs "
+        "with zero full-data shuffles.  With --derive-corpus, the raw rows "
+        "are pre-partitioned before span synthesis.",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,9 +63,19 @@ def main(argv=None) -> int:
     from kgx.sources import corpus, docs as docs_src
 
     if args.derive_corpus:
-        docs = docs_src.spans_table(
-            corpus.narrative_documents(spark.read.parquet(args.input))
-        )
+        raw = spark.read.parquet(args.input)
+        if args.presplit:
+            from pyspark.sql import functions as F
+
+            raw = pipeline.prepartition_raw(
+                raw,
+                args.buckets,
+                salt_factor=args.salt_factor,
+                final_doc_id=F.concat(
+                    F.lit("doc-"), F.col("doc_id").cast("string")
+                ),
+            )
+        docs = docs_src.spans_table(corpus.narrative_documents(raw))
     else:
         docs = spark.read.parquet(args.input)
 
@@ -67,6 +85,7 @@ def main(argv=None) -> int:
         salt_factor=args.salt_factor,
         resume=not args.no_resume,
         run_id=args.run_id,
+        presplit=args.presplit,
         validate=args.validate,
         canonicalize=args.canonicalize,
         use_minhash_linking=args.minhash_linking,
