@@ -84,10 +84,14 @@ def main() -> None:
         )
         # partition the cheap raw rows by final (bucket, salt) BEFORE span
         # synthesis: extraction + partitioned writes then run with zero
-        # full-data shuffles (production analogue: Iceberg bucket(doc_id))
+        # full-data shuffles (production analogue: Iceberg bucket(doc_id)).
+        # salt_factor=1: the bench corpus is uniform and small enough that
+        # extra salt slices tasks below ~200 docs, making them pure overhead
+        # (measured 4x slower); salting is for heavy-tailed inputs.
         documents = pipeline.prepartition_raw(
             documents,
             n_buckets,
+            salt_factor=1,
             final_doc_id=F.concat(F.lit("doc-"), F.col("doc_id").cast("string")),
         )
         docs = docs_src.spans_table(corpus.narrative_documents(documents))
