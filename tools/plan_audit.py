@@ -23,6 +23,12 @@ SECTIONS = [
      "Signatures are per-row array aggregates (no exchange until the band bucket join)."),
     ("ann_ivf_topk",
      "Centroid/query sides broadcast; probe join keyed by cell."),
+    ("jn2_graph_fetch",
+     "Star join: two aggregated sides left-joined to the doc spine; "
+     "list assembly is an explicit array_sort (span-order-safe)."),
+    ("fn_scalar_suite",
+     "Whole scalar family in one projection over a 2-column pruned scan — "
+     "zero exchanges."),
 ]
 
 
