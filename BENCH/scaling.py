@@ -221,9 +221,9 @@ each other's cores.
 The reference publishes no throughput numbers (BASELINE.md); it processes
 one document per HTTP request on a single uvicorn worker with pure-Python
 regex extraction.  Measured single-core pure-Python extraction over this
-corpus: ~1,760 docs/s (~12,700 triples/s) after this engine's guard
-optimizations — vs the full pipeline's 40k+ triples/s on 8 cores including
-all four table materializations, scaling out by partition count.
+corpus: ~2,100 docs/s (~15,200 triples/s) after this engine's guard
+optimizations — vs the full pipeline's 36k triples/s on 8 pinned cores
+including all four table materializations, scaling out by partition count.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
