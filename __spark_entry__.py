@@ -392,6 +392,27 @@ def q_p6_p8_text_gate(spark, sf_dir):
     )
 
 
+def q_a7_bucket_metrics(spark, sf_dir):
+    """Per-partition lineage metrics (SURVEY A7, north rule): docs, nodes,
+    edges, triples per bucket.  The engine's pipeline buckets by
+    xxhash64(doc_id); this oracle-checkable twin uses the md5-60 hash family
+    (kgx.functions.hashing) so DuckDB reproduces the same buckets."""
+    from kgx.functions import hashing
+
+    g = _graphs(spark, sf_dir)
+    bucket = F.expr(f"pmod({hashing.spark_md5_60('doc_id')}, 8)").cast("int")
+    return (
+        g.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("nodes")).alias("nodes"),
+            F.sum(F.size("edges")).alias("edges"),
+            F.sum(F.size("triples")).alias("triples"),
+        )
+    )
+
+
 # --- relational operator family (SURVEY §2.5 JN3/JN6, §2.6 A1-A3/A6,
 # --- §2.7 W1-W3) over the TPC-H-ish tables ---------------------------------
 
@@ -506,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_latest_order_per_customer": q_latest_order_per_customer,
         "a1_pricing_summary": q_pricing_summary,
         "jn2_graph_fetch": q_jn2_graph_fetch,
+        "a7_bucket_metrics": q_a7_bucket_metrics,
         "fn_scalar_suite": q_fn_scalar_suite,
         "p6_p8_text_gate": q_p6_p8_text_gate,
         "j1_props_parse": q_j1_props_parse,
@@ -548,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "a3_latest_order_per_customer": oracles.latest_order_sql(),
         "a1_pricing_summary": oracles.pricing_summary_sql(),
         "jn2_graph_fetch": oracles.graph_fetch_sql(),
+        "a7_bucket_metrics": oracles.bucket_metrics_sql(),
         "fn_scalar_suite": oracles.scalar_suite_sql(),
         "p6_p8_text_gate": oracles.text_gate_sql(),
         "j1_props_parse": oracles.props_parse_sql(),

@@ -833,6 +833,31 @@ LEFT JOIN trip_agg t USING (doc_id)
 """.strip()
 
 
+def bucket_metrics_sql() -> str:
+    """Oracle for per-bucket lineage metrics (SURVEY A7): docs / nodes /
+    edges / triples per md5-60-derived bucket.  Edges align 1:1 with
+    label-resolved triples (rules.extract_document), so both counts derive
+    from the triple set."""
+    bucket = f"CAST({_duck_md5_60('d.doc_id')} % 8 AS INT)"
+    return f"""
+{_BASE},
+{_NODES_CTES},
+{_triples_ctes()},
+trip AS (SELECT DISTINCT doc_id, subj, pred, obj FROM resolved),
+nc AS (SELECT doc_id, count(*) AS n_nodes FROM nodes GROUP BY 1),
+tc AS (SELECT doc_id, count(*) AS n_trip FROM trip GROUP BY 1)
+SELECT {bucket} AS bucket,
+       count(*) AS docs,
+       CAST(sum(COALESCE(nc.n_nodes, 0)) AS BIGINT) AS nodes,
+       CAST(sum(COALESCE(tc.n_trip, 0)) AS BIGINT) AS edges,
+       CAST(sum(COALESCE(tc.n_trip, 0)) AS BIGINT) AS triples
+FROM doctext d
+LEFT JOIN nc USING (doc_id)
+LEFT JOIN tc USING (doc_id)
+GROUP BY 1
+""".strip()
+
+
 def scalar_suite_sql() -> str:
     """Oracle for the §2.9 scalar-function family (sha2/md5/substr/
     regexp_replace sanitizer/concat_ws update/trim+lower) over raw documents."""
