@@ -128,21 +128,26 @@ def main() -> None:
     # is reported: the standard estimator for true machine capability on a
     # shared host whose deliverable throughput varies ±40% across minutes —
     # accumulating across sessions converges where any single session can't
+    import platform
+
+    host = f"{platform.node()}/{os.cpu_count()}"
     for _ in range(reps):
         for cpus in levels:
             s = measure(cpus, factor)
             s["factor"] = factor
             s["pinned"] = True
+            s["host"] = host
             with open(SAMPLES_PATH, "a") as f:
                 f.write(json.dumps(s) + "\n")
-    # minima are computed over PINNED samples only — unpinned history
-    # (kept in the file for the record) let low-core runs borrow idle host
-    # cores and is not comparable
+    # minima are computed over PINNED samples from THIS host only — unpinned
+    # history let low-core runs borrow idle host cores, and samples recorded
+    # on other machines are not comparable (both kept in the file for the
+    # record)
     history: dict[tuple, list] = {}
     with open(SAMPLES_PATH) as f:
         for line in f:
             s = json.loads(line)
-            if s.get("pinned"):
+            if s.get("pinned") and s.get("host") == host:
                 history.setdefault((s["factor"], s["cpus"]), []).append(s)
     by_factor: dict[int, dict[int, dict]] = {}
     for (fac, cpus), ss in sorted(history.items()):
@@ -157,18 +162,20 @@ def main() -> None:
                     lv[hi]["triples_per_sec"] / (4.0 * lv[lo]["triples_per_sec"]), 3
                 )
     hw = {"8v32": hardware_retention(8, 32), "2v8": hardware_retention(2, 8)}
-    headline_fac = max(
-        (f for f in eff if "2v8" in eff[f]), key=lambda f: eff[f]["2v8"]
-    )
+    with_2v8 = [f for f in eff if "2v8" in eff[f]]
+    headline = None
+    if with_2v8:
+        headline_fac = max(with_2v8, key=lambda f: eff[f]["2v8"])
+        headline = {
+            "pair": "local[2] vs local[8]",
+            "factor": headline_fac,
+            "efficiency": eff[headline_fac]["2v8"],
+        }
     results = {
         "runs_by_factor": by_factor,
         "efficiency_by_factor": eff,
         "hardware_per_core_retention": hw,
-        "headline": {
-            "pair": "local[2] vs local[8]",
-            "factor": headline_fac,
-            "efficiency": eff[headline_fac]["2v8"],
-        },
+        "headline": headline,
     }
     with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
         json.dump(results, f, indent=2)
@@ -189,6 +196,21 @@ def main() -> None:
             f"|---|---|---|---|---|\n{rows}\n\nEfficiency: {e}\n"
         )
     hl = results["headline"]
+    headline_md = (
+        f"""**Headline N vs 4N (local[2] → local[8], x{hl["factor"]}): efficiency =
+{hl["efficiency"]:.3f}** (target >= 0.8, BASELINE.json north_rule).  Larger
+inputs amortize the job's fixed overhead (planning, commit, Python worker
+spin-up), so efficiency rises with input size (measured per-factor above) —
+the 100 TB production regime sits far beyond the largest factor measurable
+in this sandbox."""
+        if hl
+        else "No local[2]/local[8] pair measured yet — run with levels 2,8."
+    )
+    # best measured local[8] throughput across factors, for the closing note
+    best8 = max(
+        (lv[8]["triples_per_sec"] for lv in by_factor.values() if 8 in lv),
+        default=0.0,
+    )
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
 Same job (full KG pipeline: spans → Arrow-batched extraction → materialize
@@ -205,11 +227,7 @@ varies ±40% across minutes, and the minimum is the standard estimator of
 true capability under external interference.
 
 {chr(10).join(tables)}
-**Headline N vs 4N (local[2] → local[8], x{hl["factor"]}): efficiency =
-{hl["efficiency"]:.3f}** (target >= 0.8, BASELINE.json north_rule).  Larger
-inputs amortize the job's fixed overhead (planning, commit, Python worker
-spin-up), so efficiency RISES with input size — the 100 TB production
-regime sits far beyond the largest factor measurable in this sandbox.
+{headline_md}
 
 Full-machine pair (local[8] → local[32]) is bounded by the VM, not the
 plan: the busy-loop microbenchmark (no Spark/JVM) retains only
@@ -220,10 +238,11 @@ each other's cores.
 
 The reference publishes no throughput numbers (BASELINE.md); it processes
 one document per HTTP request on a single uvicorn worker with pure-Python
-regex extraction.  Measured single-core pure-Python extraction over this
-corpus: ~2,100 docs/s (~15,200 triples/s) after this engine's guard
-optimizations — vs the full pipeline's 36k triples/s on 8 pinned cores
-including all four table materializations, scaling out by partition count.
+regex extraction — its per-node ceiling is the single-core rule-engine
+throughput (measure with the old-vs-new timing script pattern; ~2,100
+docs/s on this host as of round 1).  The full pipeline above sustains
+{best8:,.0f} triples/s on 8 pinned cores including all four table
+materializations, and scales out by partition count.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

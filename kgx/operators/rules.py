@@ -128,9 +128,7 @@ _RELATION_GUARDS: List[Tuple[str, ...]] = [
     ("developed", "built", "designed", "created"),
     ("used",),
 ]
-assert len(_RELATION_GUARDS) == len(RELATION_PATTERNS)
-
-_GUARDED_PATTERNS = list(zip(RELATION_PATTERNS, _RELATION_GUARDS))
+_GUARDED_PATTERNS = list(zip(RELATION_PATTERNS, _RELATION_GUARDS, strict=True))
 
 # Entity-type keyword cascades (services.py:514-531); order matters.
 _ORG_KEYWORDS = (

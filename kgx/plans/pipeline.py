@@ -111,9 +111,11 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
     if cfg.presplit:
         # caller pre-partitioned the RAW rows by (bucket, salt) before span
         # synthesis (see prepartition_raw) — extraction runs map-side on
-        # aligned partitions and every task holds exactly one bucket, so the
-        # partitioned write below needs no shuffle either: zero full-data
-        # shuffles end-to-end
+        # aligned partitions and the partitioned write below needs no shuffle
+        # either: zero full-data shuffles end-to-end.  Hash collisions mean a
+        # task may hold a small number of whole (bucket, salt) groups rather
+        # than exactly one; alignment (no partial groups) is what bounds the
+        # output file count at O(buckets × salt).
         salted = bucketed
     else:
         # skew-aware spread: bucket × salt so no single bucket serializes a
@@ -140,8 +142,8 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
     # align write partitioning with the bucket layout — without alignment,
     # every extraction task writes into every bucket directory (tasks ×
     # buckets tiny files).  presplit input is already aligned (each task
-    # holds one bucket → salt_factor files per bucket, no shuffle); otherwise
-    # one repartition gives one file per bucket.
+    # holds whole (bucket, salt) groups → O(salt_factor) files per bucket,
+    # no shuffle); otherwise one repartition gives one file per bucket.
     aligned = graphs if cfg.presplit else graphs.repartition(cfg.n_buckets, "bucket")
     # persist the extraction output ONCE (memory, disk spill): the graphs
     # write, the three flat-table writes, and the metrics aggregation all
@@ -181,19 +183,21 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        flats = pool.map(
-            _write_flat,
-            [
-                ("nodes", extract.nodes_table),
-                ("edges", extract.edges_table),
-                ("triples", extract.triples_table),
-            ],
-        )
-        metrics_fut = pool.submit(_metrics, None)
-        list(flats)
-        per_bucket_rows = metrics_fut.result()
-    stored.unpersist()
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            flats = pool.map(
+                _write_flat,
+                [
+                    ("nodes", extract.nodes_table),
+                    ("edges", extract.edges_table),
+                    ("triples", extract.triples_table),
+                ],
+            )
+            metrics_fut = pool.submit(_metrics, None)
+            list(flats)
+            per_bucket_rows = metrics_fut.result()
+    finally:
+        stored.unpersist()
 
     if cfg.canonicalize:
         # north-star tail: entity linking over ALL committed buckets (the

@@ -24,6 +24,17 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_driver_mem() -> str:
+    """Half of physical RAM, capped at 24g, floored at 2g — big heaps help
+    the persisted materialization on large hosts without OOM-killing small
+    CI containers that worked at the old 8g default."""
+    try:
+        total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(2, min(24, int(total_gb // 2)))}g"
+
+
 def get_spark(
     app_name: str = "kgx",
     master: str | None = None,
@@ -45,7 +56,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", _default_driver_mem()))
         # v2 commit algorithm: tasks move their own output files, so job
         # commit is O(partition dirs) instead of O(files) of serial driver
         # renames — measurable on every partitionBy write (4 tables × 64
