@@ -113,3 +113,66 @@ def test_presplit_equals_default_path(spark, sf_dir):
     finally:
         shutil.rmtree(out_a, ignore_errors=True)
         shutil.rmtree(out_b, ignore_errors=True)
+
+
+def test_presplit_resume_skips_completed_buckets(spark, sf_dir):
+    """presplit mode composes with checkpoint resume: done buckets are
+    anti-filtered BEFORE extraction, their partitions go empty, and the
+    restart converges to the clean-run output."""
+    out = tempfile.mkdtemp(prefix="kgx_presplit_resume_")
+    try:
+        n_buckets = 8
+        raw = docs_src.load_documents(spark, sf_dir)
+        pre = pipeline.prepartition_raw(
+            raw,
+            n_buckets,
+            salt_factor=2,
+            final_doc_id=F.concat(F.lit("doc-"), F.col("doc_id").cast("string")),
+        )
+        docs = docs_src.spans_table(corpus.narrative_documents(pre))
+
+        # first run dies after committing buckets 0-3
+        bucketed = pipeline._bucketed(docs, n_buckets)
+        partial = bucketed.where(F.col("bucket") < 4).drop("bucket")
+        pipeline.run(
+            spark,
+            partial,
+            pipeline.PipelineConfig(
+                out_dir=out, n_buckets=n_buckets, run_id="r1", presplit=True
+            ),
+        )
+        lin1 = {
+            r["bucket"]: r["finished_at"]
+            for r in lin.read_lineage(spark, out).collect()
+        }
+        assert set(lin1) == {0, 1, 2, 3}
+
+        # restart over the full presplit input
+        m2 = pipeline.run(
+            spark,
+            docs,
+            pipeline.PipelineConfig(
+                out_dir=out, n_buckets=n_buckets, run_id="r2", presplit=True
+            ),
+        )
+        lin2 = lin.read_lineage(spark, out).collect()
+        assert {r["bucket"] for r in lin2 if r["run_id"] == "r2"} == {4, 5, 6, 7}
+        for b in range(4):  # untouched timestamps on completed buckets
+            assert [r["finished_at"] for r in lin2 if r["bucket"] == b] == [lin1[b]]
+        assert m2["buckets_total"] == n_buckets
+        # converged output == full clean extraction triple set
+        got = _triples_set(spark, out)
+        clean = tempfile.mkdtemp(prefix="kgx_presplit_clean_")
+        try:
+            pipeline.run(
+                spark,
+                docs,
+                pipeline.PipelineConfig(
+                    out_dir=clean, n_buckets=n_buckets, resume=False, presplit=True
+                ),
+            )
+            assert got == _triples_set(spark, clean)
+        finally:
+            shutil.rmtree(clean, ignore_errors=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
