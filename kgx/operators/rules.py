@@ -147,15 +147,17 @@ _TITLE_KEYWORDS = (
 
 
 @lru_cache(maxsize=65536)
-def _person_context_patterns(label: str) -> Tuple[re.Pattern, ...]:
-    """Compiled person-context regexes for one label.  Labels repeat heavily
-    across documents, so caching avoids recompiling (and thrashing the small
-    ``re`` module cache) once per (label, doc) pair."""
+def _person_context_pattern(label: str) -> re.Pattern:
+    """One combined person-context regex per label (the classifier only
+    needs ANY-of-three, so a single alternation halves regex scans).  Labels
+    repeat heavily across documents, so caching avoids recompiling (and
+    thrashing the small ``re`` module cache) once per (label, doc) pair."""
     esc = re.escape(label)
-    return (
-        re.compile(rf"{esc}\s+(?:is|was|works|worked|manages|founded)", re.IGNORECASE),
-        re.compile(rf"(?:Mr\.|Mrs\.|Dr\.|Ms\.)\s+{esc}", re.IGNORECASE),
-        re.compile(rf"{esc}\s+(?:serves as|joined|left)", re.IGNORECASE),
+    return re.compile(
+        rf"{esc}\s+(?:is|was|works|worked|manages|founded)"
+        rf"|(?:Mr\.|Mrs\.|Dr\.|Ms\.)\s+{esc}"
+        rf"|{esc}\s+(?:serves as|joined|left)",
+        re.IGNORECASE,
     )
 
 
@@ -176,9 +178,8 @@ def classify_entity(label: str, doc_text: str) -> str:
     for k in _TITLE_KEYWORDS:
         if k in low:
             return "JobTitle"
-    for pat in _person_context_patterns(label):
-        if pat.search(doc_text):
-            return "Person"
+    if _person_context_pattern(label).search(doc_text):
+        return "Person"
     parts = label.split()
     if len(parts) == 2 and all(w[0].isupper() for w in parts):
         return "Person"
