@@ -1,0 +1,59 @@
+"""Regression guards on physical plans and cross-engine hash formulas."""
+
+import random
+
+import duckdb
+import pytest
+
+from kgx.functions import hashing
+
+
+def test_minhash_derived_matches_duckdb_and_python():
+    """The universal-hash derivation must produce identical values in
+    Python, DuckDB, and (by construction, same integer ops) Spark SQL."""
+    con = duckdb.connect()
+    rng = random.Random(7)
+    hs = [rng.randrange(0, 1 << 60) for _ in range(50)]
+    for seed in (0, 1, 7, 15):
+        a, b = hashing._uh_coeffs(seed)
+        for h in hs:
+            py = (a * (h % hashing.MERSENNE31) + b) % hashing.MERSENNE31
+            sql = hashing.minhash_derived(str(h), seed)
+            duck = con.sql(f"SELECT {sql}").fetchone()[0]
+            assert duck == py, (seed, h)
+
+
+def test_uh_coeffs_never_degenerate():
+    for seed in range(64):
+        a, b = hashing._uh_coeffs(seed)
+        assert 0 < a < hashing.MERSENNE31 and a % 2 == 1
+        assert 0 <= b < hashing.MERSENNE31
+
+
+@pytest.mark.usefixtures("spark")
+def test_kg_triples_scan_prunes_to_two_columns(spark, sf_dir):
+    """The extraction family must read ONLY (doc_id, text) from parquet —
+    a widening of ReadSchema silently multiplies 100 TB scan I/O."""
+    import __spark_entry__ as em
+
+    df = em.queries()["kg_triples"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for line in scans:
+        assert "doc_id" in line and "text:string" in line and "lang" not in line, line
+
+
+@pytest.mark.usefixtures("spark")
+def test_fn_scalar_suite_has_no_exchange(spark, sf_dir):
+    """The scalar family is a single projection — any Exchange in its plan
+    is a regression."""
+    import __spark_entry__ as em
+
+    df = em.queries()["fn_scalar_suite"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, plan
