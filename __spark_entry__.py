@@ -109,12 +109,13 @@ def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_link_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH similarity candidates over char shingles (SURVEY §2.5 JN5).
-    Seeded/deterministic; no SQL oracle (LSH bucketing is not expressible in
-    ANSI SQL) — covered by planted-near-duplicate recall tests instead."""
+    md5-derived universal-hash MinHash + banded LSH + exact-Jaccard verify —
+    fully deterministic and mirrored by a DuckDB oracle (kgx.oracles
+    .link_minhash_sql), unlike the round-1 pyspark.ml implementation."""
     from kgx.operators import extract, linking
 
     labels = linking.distinct_labels(extract.nodes_table(_graphs(spark, sf_dir)))
-    return linking.minhash_edges(labels, jaccard_max_distance=0.3)
+    return linking.minhash_edges(labels, min_jaccard=0.7)
 
 
 # --- training-data pipeline extras (raw documents / embeddings tables) ----
@@ -550,7 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": oracles.triples_sql(),
         "link_canonical_map": oracles.canonical_map_sql(),
         "link_canonical_triples": oracles.canonical_triples_sql(),
-        # link_minhash_pairs: intentionally no oracle (LSH not ANSI-SQL-expressible)
+        "link_minhash_pairs": oracles.link_minhash_sql(),
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_jaccard_pairs": oracles.dedup_jaccard_sql(),
         "dedup_minhash_lsh": oracles.dedup_minhash_sql(),

@@ -55,23 +55,43 @@ def exact_groups(documents: DataFrame) -> DataFrame:
 # shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 
-def _shingle_expr(n: int) -> str:
-    """Distinct word n-gram shingle strings from ``text`` (space-tokenized).
+def _shingle_expr(n: int, col: str = "text") -> str:
+    """Distinct word n-gram shingle strings from ``col`` (space-tokenized).
     Guarded: Spark's sequence(1, 0) would DESCEND, so short docs short-circuit
     to an empty array."""
     return (
-        f"CASE WHEN size(split(text, ' ')) < {n} THEN array() "
-        f"ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-        f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))) END"
+        f"CASE WHEN size(split({col}, ' ')) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(split({col}, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split({col}, ' '), i, {n}), ' '))) END"
     )
 
 
-def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle_hash) — exploded distinct shingles, hashed to 60 bits."""
+def char_shingle_expr(col: str, n: int = 3) -> str:
+    """Distinct character n-gram shingles of ``lower(col)`` padded with
+    '^^'/'$$' (padding guarantees >= n chars, so no empty shingle sets and
+    boundary characters weigh in — same scheme for short strings like entity
+    labels in both engines)."""
+    p = f"concat('^^', lower({col}), '$$')"
     return (
-        documents.select("doc_id", F.expr(_shingle_expr(n)).alias("shingles"))
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .select("doc_id", F.expr(hashing.spark_md5_60("shingle")).alias("shingle_hash"))
+        f"array_distinct(transform(sequence(1, length({p}) - {n - 1}), "
+        f"i -> substring({p}, i, {n})))"
+    )
+
+
+def shingle_table(
+    documents: DataFrame,
+    n: int = 3,
+    shingle_expr: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shingle_hash) — exploded distinct shingles, hashed to 60 bits.
+    ``shingle_expr`` overrides the default word-n-gram expression (e.g.
+    :func:`char_shingle_expr` for entity-label linking)."""
+    expr = shingle_expr or _shingle_expr(n)
+    return (
+        documents.select(id_col, F.expr(expr).alias("shingles"))
+        .select(id_col, F.explode("shingles").alias("shingle"))
+        .select(id_col, F.expr(hashing.spark_md5_60("shingle")).alias("shingle_hash"))
     )
 
 
@@ -111,7 +131,13 @@ def ngram_jaccard_pairs(
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    shingle_expr: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
     """(doc_id, sig array<bigint>) — per-row computation, zero shuffle.
 
     One md5-60 base hash per shingle, then the whole signature via the
@@ -119,21 +145,22 @@ def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 16) -
     (a_s * h + b_s) mod p (kgx.functions.hashing.minhash_derived) — 16x
     fewer md5 evaluations than hashing each (seed, shingle) pair; docs with
     no shingles are dropped (shorter than n tokens)."""
+    expr = shingle_expr or _shingle_expr(n)
     mins = ", ".join(
         "aggregate(hs, cast(9223372036854775807 as bigint), "
         f"(acc, x) -> least(acc, {hashing.minhash_derived('x', s)}))"
         for s in range(num_hashes)
     )
     return (
-        documents.select("doc_id", F.expr(_shingle_expr(n)).alias("shingles"))
+        documents.select(id_col, F.expr(expr).alias("shingles"))
         .where(F.size("shingles") > 0)
         .select(
-            "doc_id",
+            id_col,
             F.expr(
                 f"transform(shingles, s -> {hashing.spark_md5_60('s')})"
             ).alias("hs"),
         )
-        .select("doc_id", F.expr(f"array({mins})").alias("sig"))
+        .select(id_col, F.expr(f"array({mins})").alias("sig"))
     )
 
 
@@ -144,6 +171,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    shingle_expr: str | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
@@ -158,9 +187,9 @@ def minhash_lsh_pairs(
     with exact Jaccard anyway.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(documents, n, num_hashes)
+    sigs = minhash_signatures(documents, n, num_hashes, shingle_expr, id_col)
     banded = sigs.select(
-        "doc_id",
+        id_col,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -182,17 +211,17 @@ def minhash_lsh_pairs(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
         .distinct()
     )
     # exact-Jaccard verification restricted to the candidate pairs — the
     # whole point of LSH is to never materialize the full similarity join
-    sh = shingle_table(documents, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hash").alias("ha"))
-    shb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle_hash").alias("hb"))
+    sh = shingle_table(documents, n, shingle_expr, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sha = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle_hash").alias("ha"))
+    shb = sh.select(F.col(id_col).alias("b_doc"), F.col("shingle_hash").alias("hb"))
     inter = (
         cands.join(sha, "doc_a")
         .join(shb, (F.col("doc_b") == F.col("b_doc")) & (F.col("ha") == F.col("hb")))
@@ -200,8 +229,8 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

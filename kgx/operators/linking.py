@@ -8,7 +8,9 @@ the north star adds:
 1. alias-dictionary candidates — broadcast equi-join on normalized stems
    (SURVEY §2.5 JN4)
 2. MinHash-LSH similarity candidates over character shingles
-   (SURVEY §2.5 JN5; pyspark.ml MinHashLSH, seeded → deterministic)
+   (SURVEY §2.5 JN5; the same md5-derived universal-hash MinHash + banded
+   LSH machinery as kgx.operators.dedup — deterministic and DuckDB-oracle
+   reproducible)
 3. connected-components merge over the candidate edge list via the
    large-star/small-star algorithm (Kiveris et al., "Connected Components in
    MapReduce and Beyond") — pure DataFrame self-joins + aggregations with
@@ -49,74 +51,96 @@ def distinct_labels(nodes: DataFrame) -> DataFrame:
 def alias_edges(labels: DataFrame) -> DataFrame:
     """Alias-dictionary candidate edges: labels sharing a normalized stem.
 
-    The stem dictionary is derived from the label set itself and joined via
-    broadcast (it is tiny relative to the corpus — bounded by unique entity
-    names).  Output: (src_label, dst_label) undirected candidate pairs with
-    src < dst.
+    The stem self-join carries only (label, stem) rows, but "unique entity
+    names" is billions of rows on a web-scale corpus, so no broadcast hint is
+    forced here: with AQE enabled (kgx.session) Spark picks broadcast-hash at
+    runtime when the stem table measures small and falls back to a shuffled
+    hash/sort-merge join when it doesn't — the safe call at both 60 k and
+    10^9 labels.  Output: (src_label, dst_label) undirected candidate pairs
+    with src < dst.
     """
     stems = labels.select("label", normalized_stem(F.col("label")).alias("stem"))
     a, b = stems.alias("a"), stems.alias("b")
     return (
-        a.join(F.broadcast(b), (F.col("a.stem") == F.col("b.stem")) & (F.col("a.label") < F.col("b.label")))
+        a.join(b, (F.col("a.stem") == F.col("b.stem")) & (F.col("a.label") < F.col("b.label")))
         .select(F.col("a.label").alias("src_label"), F.col("b.label").alias("dst_label"))
     )
 
 
 def minhash_edges(
     labels: DataFrame,
-    jaccard_max_distance: float = 0.4,
-    num_hash_tables: int = 8,
+    min_jaccard: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 8,
     shingle_size: int = 3,
-    seed: int = 42,
+    max_bucket: int = 200,
 ) -> DataFrame:
-    """MinHash-LSH similarity candidates over character shingles.
+    """MinHash-LSH similarity candidates over character shingles
+    (SURVEY §2.5 JN5).
 
-    Built-in pyspark.ml pipeline: RegexTokenizer(char) → NGram →
-    HashingTF(binary) → MinHashLSH.approxSimilarityJoin.  Deterministic for
-    a fixed seed.  Output: (src_label, dst_label, jaccard_distance).
+    Same deterministic machinery as the document dedup family
+    (kgx.operators.dedup): one md5-60 base hash per padded char shingle, the
+    universal-hash MinHash family, banded LSH buckets with the ``max_bucket``
+    skew cap, then exact char-shingle-Jaccard verification of the candidates
+    — so the DuckDB oracle reproduces every pair bit-for-bit (this replaced
+    the round-1 pyspark.ml ``MinHashLSH``, which hashed shingles with a
+    JVM-internal function no other engine can replay).
+
+    Output: (src_label, dst_label, jaccard) with src < dst and
+    jaccard >= ``min_jaccard``.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+    from kgx.operators import dedup
 
-    chars = RegexTokenizer(
-        inputCol="padded", outputCol="chars", pattern=".", gaps=False, toLowercase=True
+    pairs = dedup.minhash_lsh_pairs(
+        labels.select(F.col("label").alias("lbl")),
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=min_jaccard,
+        max_bucket=max_bucket,
+        shingle_expr=dedup.char_shingle_expr("lbl", shingle_size),
+        id_col="lbl",
     )
-    grams = NGram(n=shingle_size, inputCol="chars", outputCol="shingles")
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    return pairs.select(
+        F.col("doc_a").alias("src_label"),
+        F.col("doc_b").alias("dst_label"),
+        "jaccard",
     )
-    prepared = labels.select(
-        "label", F.concat(F.lit("^^"), F.lower("label"), F.lit("$$")).alias("padded")
-    )
-    # '^^'/'$$' padding guarantees ≥ shingle_size chars, so no empty vectors
-    staged = tf.transform(grams.transform(chars.transform(prepared)))
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
-    ).fit(staged)
-    joined = lsh.approxSimilarityJoin(staged, staged, jaccard_max_distance, distCol="jaccard_distance")
-    return joined.where(F.col("datasetA.label") < F.col("datasetB.label")).select(
-        F.col("datasetA.label").alias("src_label"),
-        F.col("datasetB.label").alias("dst_label"),
-        F.col("jaccard_distance"),
-    )
+
+
+#: Default driver-side union-find cutoff (edges).  500 k edges ≈ 50 MB of
+#: collected label strings at ~100 B/edge — comfortably inside any driver
+#: heap we configure (kgx.session floors at 8 g) while still routing every
+#: web-scale candidate set to the distributed path.  Override per-deployment
+#: with KGX_CC_DRIVER_EDGES (0 disables the driver path entirely).
+_CC_DRIVER_EDGES_DEFAULT = 500_000
+
+
+def _cc_driver_threshold() -> int:
+    import os
+
+    return int(os.environ.get("KGX_CC_DRIVER_EDGES", _CC_DRIVER_EDGES_DEFAULT))
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int | None = None
 ) -> DataFrame:
     """(src_label, dst_label) undirected edges → (label, component) where
     ``component`` is the lexicographic minimum label of the component.
 
     Adaptive strategy (both paths produce identical output):
 
-    - ``|edges| <= driver_threshold``: collect + union-find on the driver.
-      A candidate edge list that fits in driver memory gains nothing from
-      6 distributed stages per round — this is the same call most
-      production CC implementations make.
+    - ``|edges| <= driver_threshold`` (default 500 k, env
+      ``KGX_CC_DRIVER_EDGES``): collect + union-find on the driver.  A
+      candidate edge list that fits comfortably in driver memory gains
+      nothing from 6 distributed stages per round — this is the same call
+      most production CC implementations make.
     - otherwise: large-star/small-star alternation (Kiveris et al.) — two
       shuffles per round, edge set monotonically contracts toward stars,
       ``localCheckpoint`` truncates lineage.  O(log n) rounds, no driver
       materialization, no GraphFrames dependency.
     """
+    if driver_threshold is None:
+        driver_threshold = _cc_driver_threshold()
     e = (
         edges.select(
             F.least("src_label", "dst_label").alias("u"),
@@ -205,7 +229,7 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
 def canonical_map(
     nodes: DataFrame,
     use_minhash: bool = False,
-    jaccard_max_distance: float = 0.4,
+    min_jaccard: float = 0.7,
 ) -> DataFrame:
     """Full canonicalization: alias (+ optional LSH) candidates → connected
     components → (label, canonical_label, canonical_id).
@@ -218,7 +242,7 @@ def canonical_map(
     cand = alias_edges(labels)
     if use_minhash:
         cand = cand.unionByName(
-            minhash_edges(labels, jaccard_max_distance).select("src_label", "dst_label")
+            minhash_edges(labels, min_jaccard).select("src_label", "dst_label")
         ).distinct()
     comp = connected_components(cand)
     mapped = labels.join(comp, "label", "left").select(
@@ -228,9 +252,13 @@ def canonical_map(
 
 
 def canonical_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
-    """Rewrite triples through the canonical map (broadcast joins — the map
-    is bounded by unique labels) and dedup the result."""
-    c = F.broadcast(cmap.select("label", "canonical_label"))
+    """Rewrite triples through the canonical map and dedup the result.
+
+    No forced broadcast: the map is bounded by unique labels, which is small
+    on a single corpus shard but unbounded on the open web — AQE promotes the
+    join to broadcast-hash at runtime exactly when the map measures under the
+    threshold (same reasoning as :func:`alias_edges`)."""
+    c = cmap.select("label", "canonical_label")
     return (
         triples.join(c.withColumnRenamed("label", "subj").withColumnRenamed("canonical_label", "subj_c"), "subj", "left")
         .join(c.withColumnRenamed("label", "obj").withColumnRenamed("canonical_label", "obj_c"), "obj", "left")

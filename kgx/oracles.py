@@ -298,6 +298,102 @@ WHERE jaccard >= {threshold}
 """.strip()
 
 
+def _duck_char_shingles(col: str, n: int = 3) -> str:
+    """Distinct char n-gram shingles of '^^'||lower(col)||'$$' — mirror of
+    kgx.operators.dedup.char_shingle_expr."""
+    p = f"('^^' || lower({col}) || '$$')"
+    return (
+        f"list_distinct(list_transform(range(1, length({p}) - {n - 2}), "
+        f"i -> substr({p}, i, {n})))"
+    )
+
+
+def _minhash_pairs_ctes(
+    src: str,
+    id_col: str,
+    shingles: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket: int = 200,
+) -> str:
+    """CTE chunk ``mh_sh … mh_pairs(doc_a, doc_b, jaccard)``: md5-60 shingle
+    hashes → universal-hash MinHash signatures → banded buckets with the
+    ``max_bucket`` skew cap → exact-Jaccard-verified candidate pairs, over
+    rows of table/CTE ``src``.  Mirror of kgx.operators.dedup.minhash_lsh_pairs
+    for any (id, shingle-list) source."""
+    from kgx.functions.hashing import minhash_derived
+
+    rows = num_hashes // bands
+    sig_cols = ",\n           ".join(
+        f"min({minhash_derived('hs', s)}) AS s{s}" for s in range(num_hashes)
+    )
+    band_cases = "\n             ".join(
+        f"WHEN {b} THEN md5(concat_ws('_', "
+        + ", ".join(f"s{b * rows + r}::VARCHAR" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    return f"""
+mh_sh AS (
+    SELECT mid, {_duck_md5_60('shingle')} AS hs
+    FROM (SELECT {id_col} AS mid, unnest({shingles}) AS shingle FROM {src})
+),
+mh_sizes AS (SELECT mid, count(*) AS n FROM mh_sh GROUP BY 1),
+mh_sig AS (
+    SELECT mid,
+           {sig_cols}
+    FROM mh_sh GROUP BY mid
+),
+mh_banded AS (
+    SELECT mid, band,
+           CASE band
+             {band_cases}
+           END AS band_hash
+    FROM mh_sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)
+),
+mh_small AS (
+    SELECT band, band_hash FROM mh_banded
+    GROUP BY band, band_hash HAVING count(*) <= {max_bucket}
+),
+mh_capped AS (SELECT b.* FROM mh_banded b JOIN mh_small USING (band, band_hash)),
+mh_cands AS (
+    SELECT DISTINCT x.mid AS doc_a, y.mid AS doc_b
+    FROM mh_capped x
+    JOIN mh_capped y ON x.band = y.band AND x.band_hash = y.band_hash
+                    AND x.mid < y.mid
+),
+mh_inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM mh_cands c
+    JOIN mh_sh a ON a.mid = c.doc_a
+    JOIN mh_sh b ON b.mid = c.doc_b AND b.hs = a.hs
+    GROUP BY 1, 2
+),
+mh_pairs AS (
+    SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+    FROM mh_inter
+    JOIN mh_sizes sa ON sa.mid = doc_a
+    JOIN mh_sizes sb ON sb.mid = doc_b
+)
+""".strip()
+
+
+def link_minhash_sql(min_jaccard: float = 0.7) -> str:
+    """Oracle for MinHash-LSH label-similarity candidates (SURVEY JN5) —
+    char-shingle MinHash over the distinct extracted labels, verified with
+    exact char-shingle Jaccard.  Same machinery as dedup_minhash, different
+    shingle alphabet and id column."""
+    body = _minhash_pairs_ctes("labs", "label", _duck_char_shingles("label"))
+    return f"""
+{_BASE},
+{_NODES_CTES},
+labs AS (SELECT DISTINCT label FROM nodes),
+{body}
+SELECT doc_a AS src_label, doc_b AS dst_label, jaccard
+FROM mh_pairs WHERE jaccard >= {min_jaccard}
+""".strip()
+
+
 def dedup_simhash_sql(max_hamming: int = 3) -> str:
     return f"""
 WITH tok AS (

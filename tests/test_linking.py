@@ -68,7 +68,7 @@ def test_minhash_recall_on_planted_near_duplicates(spark):
     base = [f"Company Number {i} Holdings" for i in range(30)]
     variants = [s.replace("Holdings", "Holding") for s in base[:10]]  # near-dups
     labels = _labels(spark, base + variants + ["Zebra", "Quark"])
-    edges = linking.minhash_edges(labels, jaccard_max_distance=0.35)
+    edges = linking.minhash_edges(labels, min_jaccard=0.65)
     got = {(r["src_label"], r["dst_label"]) for r in edges.collect()}
     planted = {
         tuple(sorted((b, v))) for b, v in zip(base[:10], variants)
