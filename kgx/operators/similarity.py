@@ -80,11 +80,14 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFr
     )
 
 
-def assign_cells(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+def assign_cells(
+    embeddings: DataFrame, n_centroids: int = 16, n_assign: int = 1
+) -> DataFrame:
     """IVF cell assignment: centroid = argmax integer dot (ties → min id).
     Centroids are the first ``n_centroids`` vectors — deterministic without
     an iterative k-means (at 100 TB you'd train centroids offline and
-    broadcast them the same way)."""
+    broadcast them the same way).  ``n_assign > 1`` indexes each vector into
+    its top-N cells (multi-probe indexing for the near-dup candidate join)."""
     from pyspark.sql.window import Window
 
     base = quantized(embeddings).where(F.col("nrm") > 0)
@@ -99,7 +102,7 @@ def assign_cells(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= n_assign)
         .select("vec_id", "q", "nrm", "cell")
     )
 
@@ -154,10 +157,61 @@ def ivf_topk(
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, min_cosine: float = 0.2) -> DataFrame:
-    """All-pairs embedding near-duplicates above a cosine floor.  Brute-force
-    O(N²) here; at scale route through :func:`assign_cells` buckets first
-    (same-cell pairs only) exactly like the LSH dedup family."""
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.2,
+    n_centroids: int = 16,
+    n_assign: int = 2,
+) -> DataFrame:
+    """Cell-bucketed embedding near-duplicate pairs above a cosine floor.
+
+    Each vector is indexed into its ``n_assign`` best IVF cells
+    (:func:`assign_cells`); candidate pairs are vectors sharing at least one
+    cell, verified with the exact quantized cosine — the same
+    bucket-then-verify shape as the MinHash-LSH dedup family, and the fix for
+    round 1's all-pairs ``crossJoin`` (O(N²) pair materialization dies at
+    100×; same-cell joins stay O(sum of cell²) with cells bounded by
+    ``n_centroids`` scaling with N).  Truly near-duplicate vectors
+    (cosine → 1) agree on their argmax cell by construction; multi-probe
+    ``n_assign = 2`` covers centroid-boundary splits.
+
+    Output: (vec_a, vec_b, cosine), vec_a < vec_b, cosine >= ``min_cosine``,
+    restricted to cell-cohabiting candidates.  The exact all-pairs variant
+    survives as :func:`embedding_near_dup_pairs_exact` — the recall oracle in
+    tests, not a scale path.
+    """
+    idx = assign_cells(embeddings, n_centroids, n_assign).select("vec_id", "cell")
+    x, y = idx.alias("x"), idx.alias("y")
+    cands = (
+        x.join(y, (F.col("x.cell") == F.col("y.cell")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    base = quantized(embeddings).where(F.col("nrm") > 0)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("qnrm")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nrm").alias("vnrm")
+    )
+    return (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a", "vec_b", F.expr(_dot("qa", "qb")).alias("dot"), "qnrm", "vnrm"
+        )
+        .withColumn("cosine", F.expr(_COSINE))
+        .where(F.col("cosine") >= min_cosine)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame, min_cosine: float = 0.2
+) -> DataFrame:
+    """Exact all-pairs near-duplicates — O(N²), the correctness/recall
+    baseline for :func:`embedding_near_dup_pairs`.  Never run this at corpus
+    scale; it exists so tests can measure the bucketed variant's recall."""
     base = quantized(embeddings).where(F.col("nrm") > 0)
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("qnrm")

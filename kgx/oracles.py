@@ -243,9 +243,35 @@ jpairs AS (
 """.strip()
 
 
-def dedup_jaccard_sql(threshold: float = 0.5) -> str:
+def dedup_jaccard_sql(threshold: float = 0.5, max_shingle_df: int = 50) -> str:
+    """Oracle for the Jaccard similarity join with the hot-shingle guard:
+    shingles in more than ``max_shingle_df`` docs are removed BEFORE the
+    self-join and the per-doc sizes (mirror of
+    kgx.operators.dedup.ngram_jaccard_pairs with max_shingle_df set)."""
     return f"""
-WITH {_JACCARD_CTES}
+WITH sh0 AS (
+    SELECT doc_id, {_duck_md5_60('shingle')} AS shingle_hash
+    FROM (SELECT doc_id, unnest({_duck_shingles()}) AS shingle FROM documents)
+),
+hot AS (
+    SELECT shingle_hash FROM sh0 GROUP BY 1 HAVING count(*) > {max_shingle_df}
+),
+sh AS (
+    SELECT * FROM sh0
+    WHERE shingle_hash NOT IN (SELECT shingle_hash FROM hot)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
 SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= {threshold}
 """.strip()
 
@@ -508,14 +534,34 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
-def emb_near_dup_sql(min_cosine: float = 0.2) -> str:
+def emb_near_dup_sql(
+    min_cosine: float = 0.2, n_centroids: int = 16, n_assign: int = 2
+) -> str:
+    """Oracle for cell-bucketed embedding near-dup pairs: each vector indexed
+    into its top-``n_assign`` IVF cells, candidates = cell-cohabiting pairs,
+    verified with the exact quantized cosine (mirror of
+    kgx.operators.similarity.embedding_near_dup_pairs)."""
+    cdot = _DUCK_DOT.format(a="base.q", b="c.q")
     dot = _DUCK_DOT.format(a="a.q", b="b.q")
     return f"""
 WITH {_QUANT_CTES},
+cents AS (SELECT vec_id AS cell, q FROM base WHERE vec_id < {n_centroids}),
+cell_scored AS (
+    SELECT base.vec_id, c.cell, {cdot} AS cdot,
+           row_number() OVER (PARTITION BY base.vec_id
+                              ORDER BY {cdot} DESC, c.cell) AS rn
+    FROM base CROSS JOIN cents c
+),
+idx AS (SELECT vec_id, cell FROM cell_scored WHERE rn <= {n_assign}),
+cands AS (
+    SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+    FROM idx x JOIN idx y ON x.cell = y.cell AND x.vec_id < y.vec_id
+),
 pairs AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS dot,
-           a.nrm AS qnrm, b.nrm AS vnrm
-    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    SELECT c.vec_a, c.vec_b, {dot} AS dot, a.nrm AS qnrm, b.nrm AS vnrm
+    FROM cands c
+    JOIN base a ON a.vec_id = c.vec_a
+    JOIN base b ON b.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, {_DUCK_COS} AS cosine
 FROM pairs WHERE {_DUCK_COS} >= {min_cosine}

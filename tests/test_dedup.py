@@ -48,6 +48,30 @@ def test_jaccard_hot_shingle_cutoff(spark):
     assert with_cut.count() < without.count()
 
 
+def test_jaccard_hot_shingle_guard_collapses_boilerplate_pairs(spark):
+    """Web-corpus shape: a long boilerplate block shared by EVERY doc makes
+    the unguarded inverted-index self-join quadratic (all 45 pairs of 10 docs
+    collide) and drags every pair over the threshold.  The guard drops the
+    boilerplate shingles, collapsing candidates to ~0 while a genuine
+    near-duplicate pair built from RARE shingles survives untouched."""
+    boiler = " ".join(f"boilerplate{i}" for i in range(30))
+    texts = [f"{boiler} unique{i}a unique{i}b unique{i}c" for i in range(10)]
+    texts.append(BASE)                             # 10: rare-shingle doc
+    texts.append(BASE.replace("kappa", "lambda"))  # 11: its near-duplicate
+    df = _docs(spark, texts)
+
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=5).collect()
+    }
+    assert len(unguarded) == 45 + 1  # all boilerplate pairs + the planted pair
+    assert guarded == {(10, 11)}  # guard kills boilerplate, keeps the real dup
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = _docs(spark, [BASE, BASE, "entirely disjoint vocabulary set list"])
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(df).collect()}

@@ -42,6 +42,45 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert cells.groupBy("vec_id").count().where("count > 1").count() == 0
 
 
+def test_near_dup_pairs_no_cartesian_and_recall(spark, emb):
+    """The cell-bucketed near-dup join must (a) never plan a cartesian
+    product over the vector set, (b) recover >= 0.9 of true high-cosine
+    near-duplicate pairs (planted by perturbing existing vectors), and
+    (c) emit only pairs the exact variant also emits (precision 1.0 —
+    candidates are verified with the exact cosine)."""
+    import pandas as pd
+
+    # plant near-duplicates: copies of vectors 20..29 with one coordinate
+    # nudged — cosine vs the original stays ~0.999
+    base_rows = emb.where(F.col("vec_id").between(20, 29)).collect()
+    planted = pd.DataFrame(
+        {
+            "vec_id": [1000 + r["vec_id"] for r in base_rows],
+            "embedding": [
+                [v + (0.01 if i == 0 else 0.0) for i, v in enumerate(r["embedding"])]
+                for r in base_rows
+            ],
+            "label": [r["label"] for r in base_rows],
+        }
+    )
+    both = emb.unionByName(spark.createDataFrame(planted))
+
+    bucketed = similarity.embedding_near_dup_pairs(both, min_cosine=0.9)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r["vec_a"], r["vec_b"]) for r in bucketed.collect()}
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs_exact(both, min_cosine=0.9).collect()
+    }
+    plantedpairs = {(r["vec_id"], 1000 + r["vec_id"]) for r in base_rows}
+    assert plantedpairs <= exact
+    recall = len(got & plantedpairs) / len(plantedpairs)
+    assert recall >= 0.9, recall
+    assert got <= exact  # verification step ⇒ no false positives
+
+
 def test_media_inventory_and_decode_stub(spark, sf_dir):
     sp = docs_src.spans_table(
         corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
