@@ -32,10 +32,15 @@ MERSENNE31 = 2147483647
 
 
 def _uh_coeffs(seed: int) -> tuple[int, int]:
-    """Deterministic (a, b) pair for seed — a is odd and nonzero mod p."""
+    """Deterministic (a, b) pair for seed — a is odd and nonzero mod p.
+
+    The oddness nudge re-reduces mod p: if the raw a is p-1 (even), a+1
+    would equal p ≡ 0 — a degenerate constant hash silently collapsing that
+    MinHash slot.  ``% MERSENNE31 or 1`` maps that single case to 1 and
+    leaves every other seed's coefficients bit-identical."""
     a = (1103515245 * (seed + 1) + 12345) % MERSENNE31
     if a % 2 == 0:
-        a += 1
+        a = (a + 1) % MERSENNE31 or 1
     b = (69069 * (seed + 1) + 1) % MERSENNE31
     return a, b
 

@@ -7,10 +7,13 @@ drops edges whose endpoints aren't in the node-id set (services.py:566-575).
 Spark-side the whole family is declarative: ``from_json`` + higher-order
 array functions — no UDF, fully codegen'd.
 
-The reference's regex-based JSON *repair* (services.py:294-320) is only
-reachable from the non-deterministic LLM path and is intentionally not
-replicated (SURVEY §7.3.6); ``from_json``'s permissive mode plays the same
-"best effort, null on failure" role here.
+The reference's regex-based JSON *repair* chain (services.py:294-320) IS
+replicated: :func:`repair_json_expr` renders the same regexp_replace cascade
+(bare keys/values, trailing commas, prose prefix) in both Spark SQL and
+DuckDB dialects, and the ``j2_json_repair`` gate query checks the two
+engines against each other.  ``from_json``'s permissive mode additionally
+plays the "best effort, null on failure" role for anything the cascade
+can't fix.
 """
 
 from __future__ import annotations

@@ -25,14 +25,20 @@ def default_parallelism() -> int:
 
 
 def _default_driver_mem() -> str:
-    """Half of physical RAM, capped at 24g, floored at 2g — big heaps help
-    the persisted materialization on large hosts without OOM-killing small
-    CI containers that worked at the old 8g default."""
+    """Half of physical RAM, capped at 24g, floored at the historical 8g
+    default (the floor only bends below 8g on hosts that physically lack
+    8 GB, where the old fixed value could never have been honored anyway).
+    Falls back to 8g when RAM can't be probed.  Big heaps help the persisted
+    materialization; the 8g floor prevents a silent regression on mid-size
+    hosts (e.g. 12 GB boxes) that ran fine at the old fixed 8g."""
     try:
         total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / (1 << 30)
     except (ValueError, OSError, AttributeError):
         return "8g"
-    return f"{max(2, min(24, int(total_gb // 2)))}g"
+    half = int(total_gb // 2)
+    if total_gb >= 8:
+        return f"{min(24, max(8, half))}g"
+    return f"{max(2, half)}g"
 
 
 def get_spark(
@@ -57,11 +63,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", _default_driver_mem()))
-        # v2 commit algorithm: tasks move their own output files, so job
-        # commit is O(partition dirs) instead of O(files) of serial driver
-        # renames — measurable on every partitionBy write (4 tables × 64
-        # bucket dirs here), decisive on object stores at cluster scale
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("KGX_COMMITTER_V2") == "1":
+        # OPT-IN ONLY: v2 task commit moves output files as tasks finish, so
+        # job commit is O(partition dirs) instead of serial driver renames —
+        # but task commit is NOT atomic (deprecated in Hadoop 3.x,
+        # MAPREDUCE-7282): a task retried mid-commit can leave duplicate or
+        # partial files, and the lineage-based resume in kgx.plans.pipeline
+        # would then treat a partially-written bucket dir as complete.  The
+        # default stays the atomic v1 committer; on object stores use a
+        # cloud-native committer (magic/S3A, GCS flush) instead of v2.
+        builder = builder.config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     return builder.getOrCreate()

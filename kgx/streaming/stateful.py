@@ -5,12 +5,18 @@ built-in streaming operators can't express.  Here: admit each document
 fingerprint exactly once across ALL micro-batches (an incremental crawl
 keeps re-seeing the same pages; the KG must not re-extract them).
 
-State layout: one group per fingerprint shard (``pmod(xxhash64(fp), N)``),
-state value = the sorted list of fingerprints already admitted in that
-shard.  Sharding keeps every state row bounded and spreads state across
-partitions — the same bucketing discipline as the batch pipeline.  State is
-checkpointed by the engine, so a restarted query continues deduping against
-everything admitted before the restart.
+State layout (round 2): one state row PER FINGERPRINT — the idiomatic
+keyed-state shape.  Each row stores only the admitting doc_id, so state size
+is O(1) per key and total state is exactly |distinct fingerprints| rows,
+spread across partitions by the engine's own group hashing.  The round-1
+layout (one sorted fingerprint LIST per hash shard) re-serialized the whole
+shard history every micro-batch — per-batch cost and per-row state grew with
+the corpus, which is fatal for a long-running crawl.  State is checkpointed
+by the engine, so a restarted query continues deduping against everything
+admitted before the restart.
+
+Deterministic admission: within the first micro-batch that carries a
+fingerprint, the minimum doc_id wins.
 """
 
 from __future__ import annotations
@@ -19,11 +25,10 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "doc_id string, fingerprint string, shard int"
-STATE_SCHEMA = "seen array<string>"
+OUTPUT_SCHEMA = "doc_id string, fingerprint string"
+STATE_SCHEMA = "admitted_doc string"
 
 
 def _dedup_fn(
@@ -31,25 +36,26 @@ def _dedup_fn(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
-    for pdf in batches:
-        for doc_id, fp in zip(pdf["doc_id"], pdf["fingerprint"]):
-            if fp not in seen:
-                seen.add(fp)
-                out.append((doc_id, fp, key[0]))
-    state.update((sorted(seen),))
-    if out:
-        yield pd.DataFrame(out, columns=["doc_id", "fingerprint", "shard"])
+    if not state.exists:
+        best = None
+        for pdf in batches:
+            if len(pdf):
+                m = pdf["doc_id"].min()
+                if best is None or m < best:
+                    best = m
+        if best is not None:
+            state.update((best,))
+            yield pd.DataFrame({"doc_id": [best], "fingerprint": [key[0]]})
 
 
-def streaming_dedup(docs_stream: DataFrame, n_shards: int = 32) -> DataFrame:
+def streaming_dedup(docs_stream: DataFrame, n_shards: int | None = None) -> DataFrame:
     """(doc_id, fingerprint) stream → first-seen rows only, across batches
-    and across restarts (state lives in the checkpoint)."""
-    sharded = docs_stream.withColumn(
-        "shard", F.pmod(F.xxhash64("fingerprint"), F.lit(n_shards)).cast("int")
-    )
-    return sharded.groupBy("shard").applyInPandasWithState(
+    and across restarts (state lives in the checkpoint).
+
+    ``n_shards`` is accepted for backward compatibility and ignored — state
+    is keyed by fingerprint directly, so sharding is the engine's job
+    (``spark.sql.shuffle.partitions`` state partitions)."""
+    return docs_stream.groupBy("fingerprint").applyInPandasWithState(
         _dedup_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

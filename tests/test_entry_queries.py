@@ -17,14 +17,32 @@ from kgx.operators import rules
 def test_relation_guards_never_skip_a_matching_sentence():
     """Every guard keyword list must be implied by its regex: a sentence the
     regex matches always contains at least one guard keyword (lowercased).
-    Checked by construction: each pattern contains a literal that includes
-    one of its guards."""
+
+    Two layers:
+    1. the pattern source contains a literal fragment covering some guard
+       (the original weak check — catches typos);
+    2. for every word-only alternation group ``(?:a|b|c)`` that carries ANY
+       guard keyword (i.e. the verb group), EVERY branch must contain a
+       guard — otherwise a sentence matching the unguarded branch (e.g.
+       "established" with only a "founded" guard) would be silently skipped
+       by the pre-filter while the regex alone would match it."""
     for (rx, rel), guards in rules._GUARDED_PATTERNS:
-        # strip regex syntax to the literal fragments of the pattern source
+        # layer 1: some literal fragment contains a guard
         literals = re.split(r"[\\()\[\]{}|?:+*$^]+", rx.pattern.lower())
         assert any(
             any(g in lit for lit in literals) for g in guards
         ), (rel, rx.pattern, guards)
+
+        # layer 2: every branch of the guard-bearing alternation groups
+        for m in re.finditer(r"\(\?\:([a-z?|]+)\)", rx.pattern.lower()):
+            branches = [b.replace("?", "") for b in m.group(1).split("|")]
+            if not any(any(g in b for g in guards) for b in branches):
+                continue  # not the verb group (e.g. prepositions at|for|in)
+            for b in branches:
+                assert any(g in b for g in guards), (rel, rx.pattern, b, guards)
+
+        # layer 2b: single-verb patterns (no alternation) — the non-group
+        # literal words themselves must cover a guard, checked by layer 1
 
 
 def test_guarded_extraction_matches_unguarded():

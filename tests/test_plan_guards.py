@@ -46,6 +46,44 @@ def test_kg_triples_scan_prunes_to_two_columns(spark, sf_dir):
         assert "doc_id" in line and "text:string" in line and "lang" not in line, line
 
 
+def test_alias_edges_join_strategy_is_adaptive(spark):
+    """Linking joins must not force a broadcast: the static plan shows an
+    adaptive (non-broadcast-hinted) join, and AQE promotes the small side to
+    broadcast-hash at runtime only when it actually measures small.  A
+    mandatory broadcast of the label table OOMs on a web-scale label set."""
+    import pandas as pd
+
+    from kgx.operators import linking
+
+    labels = spark.createDataFrame(
+        pd.DataFrame({"label": [f"Org Number {i} Corp" for i in range(2000)]})
+    )
+    edges = linking.alias_edges(labels)
+    # static (pre-execution) plan: no broadcast HINT anywhere — the join
+    # strategy must be AQE's runtime call, not ours
+    logical = edges._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "broadcast" not in logical.lower()
+    physical = edges._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in physical
+    edges.count()  # execute → AQE finalizes
+    final = edges._jdf.queryExecution().executedPlan().toString()
+    # this label table IS small, so the runtime decision should be broadcast
+    assert "BroadcastHashJoin" in final, final
+
+
+def test_jn2_graph_fetch_has_no_exchange(spark, sf_dir):
+    """jn2 is a pure array projection of the extraction output — its plan on
+    top of the (cached) graphs must contain no aggregation exchanges beyond
+    the extraction spread itself."""
+    import __spark_entry__ as em
+
+    df = em.queries()["jn2_graph_fetch"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "HashAggregate" not in plan and "SortMergeJoin" not in plan, plan
+
+
 @pytest.mark.usefixtures("spark")
 def test_fn_scalar_suite_has_no_exchange(spark, sf_dir):
     """The scalar family is a single projection — any Exchange in its plan

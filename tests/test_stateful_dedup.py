@@ -18,7 +18,7 @@ def _run_catchup(spark, in_dir, out_dir):
         spark.readStream.schema("doc_id string, fingerprint string").parquet(in_dir)
     )
     q = (
-        stateful.streaming_dedup(stream, n_shards=4)
+        stateful.streaming_dedup(stream)
         .writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "deduped"))
         .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
@@ -63,6 +63,20 @@ def test_stateful_dedup_across_batches_and_restarts(spark):
         rows = spark.read.parquet(os.path.join(out_dir, "deduped")).collect()
         assert got == {"f1", "f2", "f3"}
         assert len(rows) == 3  # every fingerprint admitted exactly once
+        # deterministic admission: min doc_id within the first batch wins
+        admitted = {r["fingerprint"]: r["doc_id"] for r in rows}
+        assert admitted["f1"] == "a"
+
+        # bounded-state contract: exactly ONE state row per distinct
+        # fingerprint, each holding a single admitted doc_id — read back from
+        # the checkpoint with the state-store reader
+        state = spark.read.format("statestore").load(os.path.join(out_dir, "_ckpt"))
+        srows = state.collect()
+        assert len(srows) == 3
+        keys = {r["key"]["fingerprint"] for r in srows}
+        assert keys == {"f1", "f2", "f3"}
+        for r in srows:
+            assert r["value"]["groupState"]["admitted_doc"] is not None
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
