@@ -350,6 +350,20 @@ def q_s5_csv_prose(spark, sf_dir):
     )
 
 
+def q_s2_binary_ingest(spark, sf_dir):
+    """S2/S3 binary-file ingest (reference services.py:20-62): documents
+    materialized as raw files (even ids → length-prefixed KGXB binary
+    container, odd ids → plain .txt), scanned with binaryFile and
+    text-extracted through the extension-dispatched parser registry in one
+    Arrow crossing.  The oracle recomputes the same subset relationally from
+    the documents table."""
+    from kgx.sources import binary
+
+    fix_dir = binary.ensure_binary_fixture(sf_dir, max_doc_id=400)
+    files = binary.load_binary_docs(spark, fix_dir, glob="doc_*")
+    return binary.extract_binary_text(files)
+
+
 def q_jn2_graph_fetch(spark, sf_dir):
     """JN2 graph fetch + A4 list assembly + W1 ordering (reference
     database_service.py:175-235): every document with its node and triple
@@ -564,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_graph_checks": q_p9_graph_checks,
         "p10_media_security": q_p10_media_security,
         "s5_csv_prose": q_s5_csv_prose,
+        "s2_binary_ingest": q_s2_binary_ingest,
     }
 
 
@@ -607,4 +622,5 @@ def oracle_sql() -> dict[str, str]:
         "p9_graph_checks": oracles.graph_checks_sql(),
         "p10_media_security": oracles.media_security_sql(),
         "s5_csv_prose": oracles.csv_prose_sql(),
+        "s2_binary_ingest": oracles.binary_ingest_sql(),
     }

@@ -568,6 +568,19 @@ FROM pairs WHERE {_DUCK_COS} >= {min_cosine}
 """.strip()
 
 
+def binary_ingest_sql(max_doc_id: int = 400) -> str:
+    """Oracle for the S2/S3 binary ingest round-trip: the extracted text must
+    equal the source document text modulo the reference's ``.strip()``
+    (services.py:50-53), with the format determined by the deterministic
+    even→kgxb / odd→txt fixture layout."""
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'kgxb' ELSE 'txt' END AS source_format,
+       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS text
+FROM documents WHERE doc_id < {max_doc_id}
+""".strip()
+
+
 def text_stats_sql() -> str:
     toks = "list_filter(str_split(text, ' '), t -> t <> '')"
     return f"""
