@@ -33,6 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
+t_proc0 = time.time()
 sys.path.insert(0, {repo!r})
 from kgx.session import get_spark
 from kgx.plans import pipeline
@@ -42,6 +43,7 @@ cpus = int(sys.argv[1]); factor = int(sys.argv[2])
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark(f"kgx-scale-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=2 * cpus)
+startup_sec = time.time() - t_proc0
 from pyspark.sql import functions as F
 documents = corpus.replicate(docs_src.load_documents(spark, sf_dir), factor)
 documents = pipeline.prepartition_raw(
@@ -56,7 +58,9 @@ try:
     wall = time.time() - t0
     print(json.dumps({{"cpus": cpus, "wall_sec": wall, "docs": m["docs"],
                       "triples": m["triples"],
-                      "triples_per_sec": m["triples"] / wall}}))
+                      "triples_per_sec": m["triples"] / wall,
+                      "startup_sec": round(startup_sec, 3),
+                      "stages": m.get("stages", {{}})}}))
 finally:
     shutil.rmtree(out, ignore_errors=True)
     spark.stop()
@@ -190,10 +194,30 @@ def main() -> None:
         )
         e = ", ".join(f"{k} = {v:.3f}" for k, v in eff.get(fac, {}).items())
         docs = next(iter(lv.values()))["docs"]
+        stage_rows = "\n".join(
+            f"| local[{c}] | " + " | ".join(
+                f"{r['stages'].get(k, float('nan')):.1f}"
+                for k in (
+                    "extract_persist_graphs_write",
+                    "flat_writes_and_metrics",
+                    "lineage_commit",
+                )
+            ) + f" | {r.get('startup_sec', float('nan')):.1f} |"
+            for c, r in sorted(lv.items())
+            if r.get("stages")
+        )
+        stage_md = (
+            "\nStage breakdown of each level's best run (s):\n\n"
+            "| parallelism | extract+persist+graphs write | flat writes+metrics |"
+            " lineage commit | session startup (excluded from wall) |\n"
+            "|---|---|---|---|---|\n" + stage_rows + "\n"
+            if stage_rows
+            else ""
+        )
         tables.append(
             f"### x{fac} replication ({docs:,} docs)\n\n"
             f"| parallelism | best wall (s) | triples | triples/sec | all samples (s) |\n"
-            f"|---|---|---|---|---|\n{rows}\n\nEfficiency: {e}\n"
+            f"|---|---|---|---|---|\n{rows}\n\nEfficiency: {e}\n{stage_md}"
         )
     hl = results["headline"]
     headline_md = (

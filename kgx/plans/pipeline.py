@@ -55,10 +55,28 @@ class PipelineConfig:
                                   # (production: Iceberg bucket(doc_id) table
                                   # layout makes the scan arrive aligned)
     run_id: str | None = None
+    table_format: str = "parquet" # "iceberg" needs the iceberg-spark-runtime
+                                  # jar on the classpath (see iceberg_available
+                                  # / test_iceberg_boundary.py — not
+                                  # installable in this offline sandbox, so
+                                  # requesting it raises with instructions)
     validate: bool = False        # P7-P9 sanity gate between extract & write
     canonicalize: bool = False    # north star: alias/CC canonical map +
                                   # deduplicated canonical triple table
     use_minhash_linking: bool = False  # add LSH candidates to alias edges
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath.  The
+    sandbox has no network and ships no iceberg jar (verified:
+    tests/test_iceberg_boundary.py), so all persisted tables here are plain
+    parquet directory tables with dynamic partition overwrite standing in
+    for Iceberg's atomic partition-level snapshot commit."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
 
 
 def _bucketed(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -101,6 +119,18 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
     started = datetime.now(timezone.utc)
     t0 = time.time()
     run_id = cfg.run_id or uuid.uuid4().hex[:12]
+
+    if cfg.table_format == "iceberg" and not iceberg_available(spark):
+        raise RuntimeError(
+            "table_format='iceberg' requested but the Iceberg Spark runtime is"
+            " not on the classpath. Add e.g. --packages"
+            " org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version> and a"
+            " catalog config; this offline sandbox cannot (no network, no"
+            " vendored jar), so the parquet + dynamic-partition-overwrite"
+            " fallback below is the tested path."
+        )
+    if cfg.table_format not in ("parquet", "iceberg"):
+        raise ValueError(f"unknown table_format: {cfg.table_format}")
 
     bucketed = _bucketed(docs, cfg.n_buckets)
 
@@ -152,8 +182,12 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
     # scale with cores — measurably the worst-scaling phase before this)
     from pyspark import StorageLevel
 
+    stages: dict[str, float] = {}
+    t_stage = time.time()
     stored = aligned.persist(StorageLevel.MEMORY_AND_DISK)
     stored.write.mode("overwrite").partitionBy("bucket").parquet(graphs_path)
+    # extraction + persist + graphs write all materialize here
+    stages["extract_persist_graphs_write"] = round(time.time() - t_stage, 3)
 
     # the three flat writes + metrics are independent jobs over the persisted
     # extraction output — pure JVM explodes, no second Python pass — and are
@@ -183,6 +217,7 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    t_stage = time.time()
     try:
         with ThreadPoolExecutor(max_workers=4) as pool:
             flats = pool.map(
@@ -198,6 +233,7 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
             per_bucket_rows = metrics_fut.result()
     finally:
         stored.unpersist()
+    stages["flat_writes_and_metrics"] = round(time.time() - t_stage, 3)
 
     if cfg.canonicalize:
         # north-star tail: entity linking over ALL committed buckets (the
@@ -219,10 +255,12 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
             os.path.join(cfg.out_dir, "triples_canonical")
         )
 
+    t_stage = time.time()
     per_bucket = spark.createDataFrame(
         per_bucket_rows, "bucket int, docs long, nodes long, edges long, triples long"
     )
     lin.append_lineage(spark, cfg.out_dir, run_id, per_bucket, started)
+    stages["lineage_commit"] = round(time.time() - t_stage, 3)
 
     docs_this_run = sum(r["docs"] for r in per_bucket_rows)
     triples_this_run = sum(r["triples"] for r in per_bucket_rows)
@@ -243,6 +281,7 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
     return {
         "run_id": run_id,
         "wall_sec": wall,
+        "stages": stages,
         "buckets_total": len({r["bucket"] for r in per_bucket_rows} | done),
         "buckets_this_run": cfg.n_buckets - len(done),
         "docs": docs_this_run + (int(prior["d"]) if prior else 0),
