@@ -79,8 +79,12 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         n_buckets = max(2 * cpus, 16)
+        # single-file input -> spread the raw rows BEFORE the xN replication
+        # so scan+replicate+prepartition-shuffle-write parallelize (the sf
+        # parquet is one sub-MB split; see BENCH/scaling.py note)
         documents = corpus.replicate(
-            docs_src.load_documents(spark, sf_dir), replicate_factor
+            docs_src.load_documents(spark, sf_dir).repartition(2 * cpus),
+            replicate_factor,
         )
         # partition the cheap raw rows by final (bucket, salt) BEFORE span
         # synthesis: extraction + partitioned writes then run with zero
