@@ -24,8 +24,15 @@ SECTIONS = [
     ("ann_ivf_topk",
      "Centroid/query sides broadcast; probe join keyed by cell."),
     ("jn2_graph_fetch",
-     "Star join: two aggregated sides left-joined to the doc spine; "
-     "list assembly is an explicit array_sort (span-order-safe)."),
+     "Zero-exchange array projection of the extraction output (round 2: the "
+     "former explode+groupBy+3-way join collapsed into per-row higher-order "
+     "array functions; list order comes from the arrays themselves)."),
+    ("emb_near_dup_pairs",
+     "Cell-bucketed near-dup join: top-2 IVF cells per vector, candidates "
+     "only from shared cells — no CartesianProduct anywhere."),
+    ("link_minhash_pairs",
+     "Label MinHash-LSH: per-row signature aggregates, banded bucket join "
+     "with skew cap, exact-Jaccard verification restricted to candidates."),
     ("fn_scalar_suite",
      "Whole scalar family in one projection over a 2-column pruned scan — "
      "zero exchanges."),
