@@ -350,6 +350,45 @@ def q_s5_csv_prose(spark, sf_dir):
     )
 
 
+def q_media_decode_fake(spark, sf_dir):
+    """Multimodal decode plumbing through the Arrow batch path: the
+    deterministic fake decoder (md5-byte-derived features/frame counts, the
+    sandbox stand-in for real codecs) quantized to integers so the DuckDB
+    oracle reproduces values exactly (no float-repr comparison)."""
+    from kgx.operators import media, spans as spans_op
+
+    inv = media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
+    dec = media.decode_media(inv, fake=True)
+    return dec.select(
+        "doc_id",
+        "media_ref",
+        "frames",
+        F.expr(
+            "array_join(transform(feature, x -> cast(round(x * 255) as int)), ',')"
+        ).alias("feat_q"),
+    )
+
+
+def q_s7_llm_fake_edges(spark, sf_dir):
+    """S7/S8 LLM source through its full downstream path: deterministic fake
+    responder (rule engine serialized as a fenced-JSON model reply) → J1
+    fence strip + multi-strategy parse → J3 coercion defaults → P4 endpoint
+    validation → exploded (src, dst, relationship) node-id edge table.  The
+    oracle recomputes the identical edges relationally, so the whole LLM
+    plumbing chain is value-hash-checked, not just unit-tested."""
+    from kgx.operators import spans as spans_op
+    from kgx.sources import llm
+
+    docs = spans_op.with_doc_text(_spans(spark, sf_dir)).select("doc_id", "doc_text")
+    g = llm.llm_graphs(docs, fake=True)
+    return g.select("doc_id", F.explode("edges").alias("e")).select(
+        "doc_id",
+        F.col("e.source").alias("src"),
+        F.col("e.target").alias("dst"),
+        F.col("e.relationship").alias("relationship"),
+    )
+
+
 def q_s2_binary_ingest(spark, sf_dir):
     """S2/S3 binary-file ingest (reference services.py:20-62): documents
     materialized as raw files (even ids → length-prefixed KGXB binary
@@ -579,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_media_security": q_p10_media_security,
         "s5_csv_prose": q_s5_csv_prose,
         "s2_binary_ingest": q_s2_binary_ingest,
+        "s7_llm_fake_edges": q_s7_llm_fake_edges,
+        "media_decode_fake": q_media_decode_fake,
     }
 
 
@@ -623,4 +664,6 @@ def oracle_sql() -> dict[str, str]:
         "p10_media_security": oracles.media_security_sql(),
         "s5_csv_prose": oracles.csv_prose_sql(),
         "s2_binary_ingest": oracles.binary_ingest_sql(),
+        "s7_llm_fake_edges": oracles.llm_edges_sql(),
+        "media_decode_fake": oracles.media_decode_sql(),
     }

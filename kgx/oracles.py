@@ -933,7 +933,8 @@ cand AS (
     SELECT doc_id, 'located_in', g2, g3 FROM cand3m
 ),
 resolved AS (
-    SELECT c.doc_id, sn.label AS subj, c.rel AS pred, tn.label AS obj
+    SELECT c.doc_id, sn.label AS subj, c.rel AS pred, tn.label AS obj,
+           sn.node_id AS src_id, tn.node_id AS dst_id
     FROM cand c
     JOIN nodes sn ON sn.doc_id = c.doc_id
                  AND lower(sn.label) = lower(c.src_label)
@@ -951,6 +952,43 @@ def triples_sql() -> str:
 {_NODES_CTES},
 {_triples_ctes()}
 SELECT DISTINCT doc_id, subj, pred, obj FROM resolved
+""".strip()
+
+
+def media_decode_sql() -> str:
+    """Oracle for the fake media decoder: features are the first 4 md5 bytes
+    of the media_ref scaled by /255 then re-quantized, frames = 1 + byte5 %
+    8 — recomputed from the hex digest in SQL."""
+    inv = media_inventory_sql()
+
+    def byte(i: int) -> str:  # 1-indexed md5 byte from the hex digest
+        return f"(('0x' || substr(md5(media_ref), {2 * i - 1}, 2))::BIGINT)"
+
+    feat = " || ',' || ".join(
+        f"CAST({byte(i)} AS VARCHAR)" for i in range(1, 5)
+    )
+    return f"""
+WITH inv AS (
+{inv}
+)
+SELECT doc_id, media_ref,
+       CAST(1 + {byte(5)} % 8 AS INT) AS frames,
+       {feat} AS feat_q
+FROM inv
+""".strip()
+
+
+def llm_edges_sql() -> str:
+    """Oracle for the LLM fake-responder path (S7/S8 → J1 fence strip → J1
+    parse → J3 coercion → P4 endpoint validation): the deterministic fake
+    serializes the rule engine's graph, so the round-tripped edge table must
+    equal the rule extraction's node-id edges exactly."""
+    return f"""
+{_BASE},
+{_NODES_CTES},
+{_triples_ctes()}
+SELECT DISTINCT doc_id, src_id AS src, dst_id AS dst, pred AS relationship
+FROM resolved
 """.strip()
 
 
