@@ -245,29 +245,33 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint) — 64-bit SimHash over distinct tokens.
 
     Bit j of the fingerprint is 1 iff more token-hashes have bit j set than
-    unset.  Computed via explode(tokens) → explode(bits) → bit-vote groupBy;
-    only 60 bits are populated (md5_60) which is plenty for near-dup work.
+    unset.  Round 2: computed entirely per-row with higher-order array
+    functions (one ``aggregate`` per bit over the token-hash array, same
+    shape as the MinHash signatures) — ZERO shuffle.  The round-1 version
+    exploded every doc into 60 × |tokens| (doc_id, bit) rows and shuffled
+    them through two groupBys; at corpus scale that exchange carried 60×
+    the token count for a value that is a pure per-document function.
+    Only 60 bits are populated (md5_60), plenty for near-dup work.
     """
-    tok = (
+    bit_exprs = " + ".join(
+        f"(CASE WHEN aggregate(hs, 0, (acc, h) -> acc + "
+        f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN cast(shiftleft(cast(1 as bigint), {b}) as bigint) ELSE cast(0 as bigint) END)"
+        for b in range(60)
+    )
+    return (
         documents.select(
-            "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("token")
+            "doc_id",
+            F.expr(
+                "filter(array_distinct(split(text, ' ')), t -> t != '')"
+            ).alias("toks"),
         )
-        .where(F.col("token") != "")
-        .select("doc_id", F.expr(hashing.spark_md5_60("token")).alias("th"))
-    )
-    votes = (
-        tok.select("doc_id", "th", F.explode(F.expr("sequence(0, 59)")).alias("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(shiftright(th, bit) & 1) = 1"), 1).otherwise(-1)
-            ).alias("vote")
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.expr(f"transform(toks, t -> {hashing.spark_md5_60('t')})").alias("hs"),
         )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("cast(shiftleft(cast(1 as bigint), bit) as bigint)")).otherwise(F.lit(0))
-        ).alias("simhash")
+        .select("doc_id", F.expr(f"cast({bit_exprs} as bigint)").alias("simhash"))
     )
 
 

@@ -71,6 +71,19 @@ def test_alias_edges_join_strategy_is_adaptive(spark):
     assert "BroadcastHashJoin" in final, final
 
 
+def test_simhash_fingerprints_have_no_exchange(spark, sf_dir):
+    """SimHash fingerprints are a pure per-row function (round 2: bit votes
+    via aggregate() over the token-hash array) — any Exchange in the
+    signature computation is a regression to the exploded bit-vote shuffle."""
+    from kgx.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = dedup.simhash_fingerprints(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_jn2_graph_fetch_has_no_exchange(spark, sf_dir):
     """jn2 is a pure array projection of the extraction output — its plan on
     top of the (cached) graphs must contain no aggregation exchanges beyond
