@@ -176,3 +176,53 @@ def test_presplit_resume_skips_completed_buckets(spark, sf_dir):
             shutil.rmtree(clean, ignore_errors=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_canonicalize_tail_merges_aliases(spark):
+    """North-star tail through the FULL pipeline: canonicalize=True (with
+    MinHash linking on) must emit a canonical_map whose alias variants merge
+    and a triples_canonical table whose object labels are canonicalized and
+    deduplicated across the alias split."""
+    import os
+
+    import pandas as pd
+
+    from kgx.sources import docs as docs_src
+
+    texts = [
+        ("doc-a", "John Doe is the CEO of Acme Corporation."),
+        ("doc-b", "John Doe is the CEO of Acme Corp."),
+        ("doc-c", "Jane Smith founded Widget Systems."),
+    ]
+    raw = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [d for d, _ in texts], "text": [t for _, t in texts]})
+    )
+    # one text span per doc, the minimal spans-table shape
+    docs = raw.selectExpr(
+        "doc_id",
+        "array(named_struct('kind', 'text', 'text', text, 'media_ref', '',"
+        " 'offset', 0)) AS spans",
+    )
+    out = tempfile.mkdtemp(prefix="kgx_canon_")
+    try:
+        pipeline.run(
+            spark,
+            docs,
+            pipeline.PipelineConfig(
+                out_dir=out,
+                n_buckets=4,
+                resume=False,
+                canonicalize=True,
+                use_minhash_linking=True,
+            ),
+        )
+        cmap = {
+            r["label"]: r["canonical_label"]
+            for r in spark.read.parquet(os.path.join(out, "canonical_map")).collect()
+        }
+        assert cmap["Acme Corporation"] == cmap["Acme Corp"]
+        canon = pipeline.read_output(spark, out, "triples_canonical")
+        objs = {r["obj"] for r in canon.where("pred = 'ceo_of'").collect()}
+        assert len(objs) == 1  # both docs' objects rewrote to ONE canonical label
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
