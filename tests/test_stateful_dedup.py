@@ -80,3 +80,40 @@ def test_stateful_dedup_across_batches_and_restarts(spark):
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_stateful_dedup_state_stays_linear_in_distinct_keys(spark):
+    """Volume check of the O(1)-per-key state contract: two batches with
+    heavy duplication (4000 rows, 1500 distinct fingerprints) must leave
+    exactly 1500 state rows and admit exactly 1500 outputs."""
+    in_dir = tempfile.mkdtemp(prefix="st_vol_in_")
+    out_dir = tempfile.mkdtemp(prefix="st_vol_out_")
+    try:
+        _write_batch(
+            spark,
+            in_dir,
+            [
+                {"doc_id": f"d{i:05d}", "fingerprint": f"f{i % 1000:04d}"}
+                for i in range(2000)
+            ],
+        )
+        _run_catchup(spark, in_dir, out_dir)
+        _write_batch(
+            spark,
+            in_dir,
+            [
+                # 500 repeats of batch-1 keys + 500 new keys
+                {"doc_id": f"e{i:05d}", "fingerprint": f"f{500 + i % 1000:04d}"}
+                for i in range(2000)
+            ],
+        )
+        _run_catchup(spark, in_dir, out_dir)
+
+        out = spark.read.parquet(os.path.join(out_dir, "deduped"))
+        assert out.count() == 1500
+        assert out.select("fingerprint").distinct().count() == 1500
+        state = spark.read.format("statestore").load(os.path.join(out_dir, "_ckpt"))
+        assert state.count() == 1500
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
