@@ -12,6 +12,45 @@ from hypothesis import given, settings, strategies as st
 
 from kgx.operators import rules
 
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=4000))
+def test_kgxb_container_roundtrip_any_text(text):
+    """The KGXB binary container must round-trip arbitrary unicode exactly
+    (length framing is byte-based, payload utf-8)."""
+    from kgx.sources import binary
+
+    assert binary.decode_kgxb(binary.encode_kgxb(text)) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        # printable ASCII minus quote/backslash — real labels come from the
+        # mention regex alphabet [A-Za-z ]; control chars only break the SQL
+        # literal quoting of the test harness, not the shingle semantics
+        alphabet=st.characters(
+            codec="ascii", min_codepoint=32, exclude_characters="'\\"
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_char_shingles_match_python_reference(text):
+    """The char-shingle definition used by MinHash label linking must equal
+    the obvious Python formulation: distinct 3-grams of '^^'+lower+'$$'.
+    Verified via DuckDB evaluating the mirrored oracle expression (the Spark
+    expression is the same construction; the oracle gate pins Spark==DuckDB)."""
+    import duckdb
+
+    from kgx.oracles import _duck_char_shingles
+
+    p = "^^" + text.lower() + "$$"
+    expected = sorted({p[i : i + 3] for i in range(len(p) - 2)})
+    quoted = "'" + text.replace("'", "''") + "'"
+    got = duckdb.sql(f"SELECT list_sort({_duck_char_shingles(quoted)})").fetchone()[0]
+    assert got == expected, (text, got, expected)
+
 # text alphabet biased toward the interesting cases: capitalized words,
 # stop words, connector phrases, punctuation, digits, CamelCase
 WORDS = st.sampled_from(
