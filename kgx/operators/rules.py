@@ -161,10 +161,52 @@ def _person_context_pattern(label: str) -> re.Pattern:
     )
 
 
-def classify_entity(label: str, doc_text: str) -> str:
+# string-scan twin of _person_context_pattern: the per-label IGNORECASE regex
+# rescans the WHOLE document per unclassified mention (~25% of extraction
+# time profiled); the fast path find()s the (rare) label occurrences in the
+# pre-lowered text and checks the same contexts with C-speed prefix/suffix
+# string ops.  Applicable iff lower() is length-preserving (guard below) so
+# positions line up with IGNORECASE semantics; the alternation prefixes are
+# matched exactly like the regex (no trailing word boundary — preserved).
+_CTX_SUFFIXES = ("is", "was", "works", "worked", "manages", "founded",
+                 "serves as", "joined", "left")
+_CTX_TITLES = ("mr.", "mrs.", "dr.", "ms.")
+_WS_RX = re.compile(r"\s+")
+_WS_ONE = re.compile(r"\s")
+
+
+def _person_context_fast(label_lower: str, text_lower: str) -> bool:
+    n, start = len(label_lower), 0
+    while True:
+        i = text_lower.find(label_lower, start)
+        if i < 0:
+            return False
+        m = _WS_RX.match(text_lower, i + n)
+        if m:  # label followed by \s+ — check the verb alternatives
+            k = m.end()
+            for v in _CTX_SUFFIXES:
+                if text_lower.startswith(v, k):
+                    return True
+        p = i
+        while p > 0 and _WS_ONE.match(text_lower, p - 1):
+            p -= 1
+        if p < i:  # \s+ before the label — check the title prefixes
+            for t in _CTX_TITLES:
+                if text_lower.endswith(t, 0, p):
+                    return True
+        start = i + 1
+
+
+def classify_entity(label: str, doc_text: str, doc_text_lower: str | None = None) -> str:
     """Entity-type heuristic (services.py:507-547). Order of checks matters.
     Plain for-loops instead of any(genexpr): this runs per (mention, doc) in
-    the hot path and generator frames were ~20% of extraction time."""
+    the hot path and generator frames were ~20% of extraction time.
+
+    ``doc_text_lower`` (precomputed once per doc by the caller) enables the
+    string-scan person-context fast path; it is used only when lowering
+    preserved length (position alignment with the IGNORECASE regex — a
+    handful of unicode codepoints expand under lower()), else the regex twin
+    runs.  Both paths are equivalence-tested property-wise."""
     low = label.lower()
     for k in _ORG_KEYWORDS:
         if k in low:
@@ -178,7 +220,11 @@ def classify_entity(label: str, doc_text: str) -> str:
     for k in _TITLE_KEYWORDS:
         if k in low:
             return "JobTitle"
-    if _person_context_pattern(label).search(doc_text):
+    if doc_text_lower is not None and len(doc_text_lower) == len(doc_text):
+        is_person = _person_context_fast(low, doc_text_lower)
+    else:
+        is_person = bool(_person_context_pattern(label).search(doc_text))
+    if is_person:
         return "Person"
     parts = label.split()
     if len(parts) == 2 and all(w[0].isupper() for w in parts):
@@ -217,8 +263,9 @@ def extract_document(
         return [], [], []
 
     labels = detect_mentions(text)
+    text_low = text.lower()  # one lowering per doc, shared by the classifier
     nodes = [
-        (f"n{i + 1}", label, classify_entity(label, text))
+        (f"n{i + 1}", label, classify_entity(label, text, text_low))
         for i, label in enumerate(labels)
     ]
     # case-insensitive resolution map: first insertion wins (lower(label) is

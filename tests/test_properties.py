@@ -13,6 +13,31 @@ from hypothesis import given, settings, strategies as st
 from kgx.operators import rules
 
 
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            list("AaBbCc .\t\n!?") + ["Mr.", "Dr.", "Acme", "acme", "Corp",
+                                     "is", "was", "works", "working", "serves as",
+                                     "joined", "left", "İ", "ß", " ", "K"]
+        ),
+        max_size=25,
+    ).map("".join),
+    st.sampled_from(["Acme", "Ab", "A Corp", "Acme Corp", "Bc"]),
+)
+def test_person_context_fast_path_equals_regex(text, label):
+    """The string-scan person-context fast path must agree with the
+    IGNORECASE regex on every input where it is enabled (length-preserving
+    lower()), including unicode whitespace (NBSP), Kelvin-sign case folds,
+    and verb-prefix corners like 'working'."""
+    low = text.lower()
+    regex = bool(rules._person_context_pattern(label).search(text))
+    if len(low) == len(text):
+        assert rules._person_context_fast(label.lower(), low) == regex, (text, label)
+    # the public classifier must give one answer regardless of path
+    assert rules.classify_entity(label, text, low) == rules.classify_entity(label, text)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.text(max_size=4000))
 def test_kgxb_container_roundtrip_any_text(text):
