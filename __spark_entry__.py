@@ -228,6 +228,13 @@ def q_text_stats(spark, sf_dir):
     return textstats.text_stats(_documents(spark, sf_dir))
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token budgeting (training-data pipeline)."""
+    from kgx.operators import textstats
+
+    return textstats.token_counts(_documents(spark, sf_dir))
+
+
 def q_language_id(spark, sf_dir):
     """Stop-word-marker language guess (deterministic argmax)."""
     from kgx.operators import textstats
@@ -597,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "media_inventory": q_media_inventory,
@@ -643,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracles.ann_ivf_sql(),
         "emb_near_dup_pairs": oracles.emb_near_dup_sql(),
         "text_stats": oracles.text_stats_sql(),
+        "token_counts": oracles.token_counts_sql(),
         "language_id": oracles.language_id_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "media_inventory": oracles.media_inventory_sql(),

@@ -26,6 +26,18 @@ LANG_MARKERS = {
 TOKENS_EXPR = "filter(split(text, ' '), t -> t != '')"
 PUNCT_EXPR = "length(text) - length(regexp_replace(text, '[.!?,;:]', ''))"
 
+#: GPT-2-style pre-tokenizer approximation: contraction suffixes, letter
+#: runs, digit runs, symbol runs — each folding one leading space — plus
+#: whitespace runs and stray apostrophes.  Restricted to constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): ordered
+#: leftmost alternation, non-capturing group, explicit whitespace class
+#: (``\s`` differs between the engines on vertical-tab).
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r']+"
+    r"|[ \t\n\r]+|'"
+)
+
 
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-doc counts + quality score.
@@ -53,6 +65,32 @@ def text_stats(documents: DataFrame) -> DataFrame:
             * F.least(F.lit(1.0), F.col("token_count") / F.lit(50.0))
             * (F.lit(1.0) - F.col("punct_count") / F.col("char_count"))
         ).alias("quality"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens, char_count, chars_per_token) — the
+    two tokenizer families a training-data pipeline budgets with: whitespace
+    split and a BPE-ish regex pre-tokenizer (GPT-2 pattern shape, see
+    BPE_TOKEN_PATTERN).  Pure projection, JVM-side regex, no shuffle; the
+    DuckDB oracle runs the identical pattern under RE2."""
+    t = documents.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+            )
+        ).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("char_count"),
+    )
+    # filter BEFORE dividing: ANSI mode makes a 0-token doc a hard error
+    return t.where(F.col("bpe_tokens") > 0).select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        "char_count",
+        (F.col("char_count") / F.col("bpe_tokens")).alias("chars_per_token"),
     )
 
 

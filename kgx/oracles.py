@@ -601,6 +601,25 @@ FROM t2
 """.strip()
 
 
+def token_counts_sql() -> str:
+    from kgx.operators.textstats import BPE_TOKEN_PATTERN
+
+    toks = "list_filter(str_split(text, ' '), t -> t <> '')"
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len({toks}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS char_count
+    FROM documents
+)
+SELECT doc_id, ws_tokens, bpe_tokens, char_count,
+       char_count / CAST(bpe_tokens AS DOUBLE) AS chars_per_token
+FROM t WHERE bpe_tokens > 0
+""".strip()
+
+
 def language_id_sql() -> str:
     from kgx.operators.textstats import LANG_MARKERS
 

@@ -95,3 +95,32 @@ def test_text_stats_empty_and_tiny_docs(spark):
     rows = {r["doc_id"]: r for r in textstats.text_stats(df).collect()}
     assert set(rows) == {0, 2}  # empty doc dropped, no crash
     assert rows[0]["token_count"] == 1
+
+
+def test_token_counts_bpe_vs_ws(spark):
+    """BPE-ish regex tokenizer: contraction split, digit/letter runs, symbol
+    runs, whitespace runs — and Java-vs-RE2 parity checked against DuckDB
+    running the identical pattern."""
+    from kgx.operators import textstats
+
+    texts = ["don't stop", "abc123 x!", "", "  double  spaced  "]
+    df = _docs(spark, texts)
+    rows = {r["doc_id"]: r for r in textstats.token_counts(df).collect()}
+    assert rows[0]["ws_tokens"] == 2 and rows[0]["bpe_tokens"] == 3  # don|'t| stop
+    assert rows[1]["bpe_tokens"] == 4  # abc|123| x|!
+    assert 2 not in rows  # empty doc dropped (ANSI divide guard)
+    assert rows[3]["ws_tokens"] == 2 and rows[3]["bpe_tokens"] == 5
+
+    import duckdb
+
+    from kgx import oracles
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = con.execute(oracles.token_counts_sql()).df().set_index("doc_id")
+    assert set(got.index) == set(rows)
+    for i, r in rows.items():
+        assert got.loc[i, "ws_tokens"] == r["ws_tokens"]
+        assert got.loc[i, "bpe_tokens"] == r["bpe_tokens"]
