@@ -376,6 +376,41 @@ def q_media_decode_fake(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling through the 1→N Arrow explode path (fake frame
+    synthesis; counts agree with media_decode's frames column).  Binary
+    frames compared as hex so DuckDB reproduces them."""
+    from kgx.operators import media, spans as spans_op
+
+    inv = media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
+    fr = media.frame_sample(inv, fps=4, fake=True)
+    return fr.select(
+        "doc_id",
+        "media_ref",
+        "frame_idx",
+        "ts_ms",
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
+def q_media_resize(spark, sf_dir):
+    """Image aspect-fit thumbnails (exact integer dims, fake bytes) through
+    the Arrow batch path."""
+    from kgx.operators import media, spans as spans_op
+
+    inv = media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
+    rz = media.resize_media(inv, max_w=64, max_h=64, fake=True)
+    return rz.select(
+        "doc_id",
+        "media_ref",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.hex("thumb").alias("thumb_hex"),
+    )
+
+
 def q_s7_llm_fake_edges(spark, sf_dir):
     """S7/S8 LLM source through its full downstream path: deterministic fake
     responder (rule engine serialized as a fenced-JSON model reply) → J1
@@ -628,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_binary_ingest": q_s2_binary_ingest,
         "s7_llm_fake_edges": q_s7_llm_fake_edges,
         "media_decode_fake": q_media_decode_fake,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
     }
 
 
@@ -675,4 +712,6 @@ def oracle_sql() -> dict[str, str]:
         "s2_binary_ingest": oracles.binary_ingest_sql(),
         "s7_llm_fake_edges": oracles.llm_edges_sql(),
         "media_decode_fake": oracles.media_decode_sql(),
+        "media_frames": oracles.media_frames_sql(),
+        "media_resize": oracles.media_resize_sql(),
     }

@@ -91,3 +91,120 @@ def decode_media(inventory: DataFrame, fake: bool = False) -> DataFrame:
     return inventory.select("doc_id", "media_ref").mapInPandas(
         _decode, schema=DECODED_SCHEMA
     )
+
+
+FRAME_SCHEMA = (
+    "doc_id string, media_ref string, frame_idx int, ts_ms bigint, frame binary"
+)
+
+
+def frame_sample(
+    inventory: DataFrame, fps: int = 4, fake: bool = False
+) -> DataFrame:
+    """Video spans → sampled frames, the 1→N Arrow explode stage.
+
+    Each video row yields its sampled frames as separate output rows —
+    exactly the shape a real decoder uses (ffmpeg seek per timestamp inside
+    the Python worker, rows stream out through Arrow batches, worker memory
+    stays flat per ``maxRecordsPerBatch``).  ``fake=True`` derives the frame
+    count with the same md5-byte-5 formula as ``decode_media``'s ``frames``
+    column (the two stages agree row-for-row) and frame bytes as md5 of
+    ``ref#idx`` — deterministic, so the DuckDB oracle reproduces every row;
+    ``fake=False`` is the production signature and raises here (no codecs in
+    this sandbox).  ``ts_ms`` = frame_idx * 1000 / fps in exact integer
+    arithmetic (fps must divide 1000).
+    """
+    assert 1000 % fps == 0, "fps must divide 1000 for exact integer ts_ms"
+    step = 1000 // fps
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs unavailable in this environment; "
+                    "use fake=True or plug a real frame sampler here"
+                )
+            out = {k: [] for k in
+                   ("doc_id", "media_ref", "frame_idx", "ts_ms", "frame")}
+            for doc, ref in zip(pdf["doc_id"].tolist(),
+                                pdf["media_ref"].tolist()):
+                n = 1 + hashlib.md5(ref.encode()).digest()[4] % 8
+                for i in range(n):
+                    out["doc_id"].append(doc)
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * step)
+                    out["frame"].append(
+                        hashlib.md5(f"{ref}#{i}".encode()).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return (
+        inventory.where(F.col("media_type") == "video")
+        .select("doc_id", "media_ref")
+        .mapInPandas(_sample, schema=FRAME_SCHEMA)
+    )
+
+
+RESIZED_SCHEMA = (
+    "doc_id string, media_ref string, width int, height int, "
+    "out_width int, out_height int, thumb binary"
+)
+
+
+def resize_media(
+    inventory: DataFrame, max_w: int = 64, max_h: int = 64, fake: bool = False
+) -> DataFrame:
+    """Image spans → aspect-fit thumbnails (never upscaled).
+
+    Target dims use exact integer arithmetic (floor-divide, min 1 px) so the
+    DuckDB oracle reproduces them bit-for-bit: wide images clamp to
+    ``max_w``, tall ones to ``max_h``.  ``fake=True`` synthesizes thumb bytes
+    as md5 of ``ref|WxH``; ``fake=False`` is the production signature
+    (raises here — no image codecs in this sandbox, the Arrow plumbing is
+    the deliverable)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable in this environment; "
+                    "use fake=True or plug a real resizer here"
+                )
+            ows, ohs, thumbs = [], [], []
+            for ref, w, h in zip(pdf["media_ref"].tolist(),
+                                 pdf["width"].tolist(),
+                                 pdf["height"].tolist()):
+                w, h = int(w), int(h)
+                if w <= max_w and h <= max_h:
+                    ow, oh = w, h
+                elif w * max_h >= h * max_w:
+                    ow, oh = max_w, max(1, (h * max_w) // w)
+                else:
+                    ow, oh = max(1, (w * max_h) // h), max_h
+                ows.append(ow)
+                ohs.append(oh)
+                thumbs.append(
+                    hashlib.md5(f"{ref}|{ow}x{oh}".encode()).digest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": ows,
+                    "out_height": ohs,
+                    "thumb": thumbs,
+                }
+            )
+
+    return (
+        inventory.where(F.col("media_type") == "image")
+        .select("doc_id", "media_ref", "width", "height")
+        .mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    )

@@ -21,7 +21,10 @@ parallel):
    back (space-joined) to an extraction-equivalent document.
 2. After text chunk ``i``, a media span is interleaved iff
    ``(doc_id + i) % 5 == 2`` with ``media_ref =
-   's3://media/doc-{doc_id}-{i}.png'`` — deterministic, oracle-reproducible.
+   's3://media/doc-{doc_id}-{i}<ext>'`` where ``<ext>`` cycles
+   ``.png/.mp4/.wav`` by ``(doc_id + i) % 3`` — deterministic,
+   oracle-reproducible, and exercises all three media families
+   (image/video/audio) in the multimodal operators.
 3. ``offset`` = 0-based position over the final interleaved sequence.
 """
 
@@ -65,7 +68,9 @@ def spans_table(documents: DataFrame) -> DataFrame:
                         named_struct('kind', 'text',  'text', c,  'media_ref', ''),
                         named_struct('kind', 'media', 'text', '',
                                      'media_ref',
-                                     concat('s3://media/doc-', raw_id, '-', i, '.png'))
+                                     concat('s3://media/doc-', raw_id, '-', i,
+                                            element_at(array('.png', '.mp4', '.wav'),
+                                                       cast((raw_id + i) % 3 as int) + 1)))
                     )
                 ELSE
                     array(named_struct('kind', 'text', 'text', c, 'media_ref', ''))

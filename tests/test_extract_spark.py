@@ -28,9 +28,10 @@ def test_spans_synthesis_roundtrips_text(spark):
     assert row["doc_text"] == SAMPLE
     offsets = [s["offset"] for s in row["spans"]]
     assert offsets == list(range(len(offsets)))
-    # deterministic media interleave: (7 + i) % 5 == 2 → after chunk i=0
+    # deterministic media interleave: (7 + i) % 5 == 2 → after chunk i=0;
+    # extension cycles by (7 + 0) % 3 == 1 → '.mp4'
     media = [s for s in row["spans"] if s["kind"] == "media"]
-    assert [m["media_ref"] for m in media] == ["s3://media/doc-7-0.png"]
+    assert [m["media_ref"] for m in media] == ["s3://media/doc-7-0.mp4"]
 
 
 def test_span_roundtrip_invariant_survives_shuffle(spark):

@@ -86,8 +86,9 @@ def test_media_inventory_and_decode_stub(spark, sf_dir):
         corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
     )
     inv = media.media_inventory(spans_op.explode_spans(sp))
-    rows = inv.limit(5).collect()
-    assert rows and all(r["media_type"] == "image" for r in rows)
+    rows = inv.limit(50).collect()
+    # extension cycle → all three media families present in the corpus
+    assert {r["media_type"] for r in rows} == {"image", "video", "audio"}
     assert all(1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080 for r in rows)
 
     decoded = media.decode_media(inv.limit(10), fake=True).collect()
@@ -99,3 +100,59 @@ def test_media_inventory_and_decode_stub(spark, sf_dir):
     with pytest.raises(Exception) as exc:
         media.decode_media(inv.limit(1), fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or "codecs unavailable" in str(exc.value)
+
+
+def test_frame_sample_counts_agree_with_decode(spark, sf_dir):
+    """frame_sample's per-video row count equals decode_media's frames
+    column (same md5-byte-5 formula), ts_ms steps by 1000/fps, and the
+    production (fake=False) signature raises."""
+    sp = docs_src.spans_table(
+        corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
+    )
+    inv = media.media_inventory(spans_op.explode_spans(sp))
+    videos = inv.where("media_type = 'video'").limit(8)
+    frames = media.frame_sample(videos, fps=4, fake=True)
+    got = {
+        r["media_ref"]: r["n"]
+        for r in frames.groupBy("media_ref").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    want = {
+        r["media_ref"]: r["frames"]
+        for r in media.decode_media(videos, fake=True).collect()
+    }
+    assert got == want and got
+    one = frames.where("frame_idx = 2").limit(1).collect()
+    if one:
+        assert one[0]["ts_ms"] == 500  # 2 * 1000/4
+    with pytest.raises(Exception):
+        media.frame_sample(videos, fake=False).collect()
+
+
+def test_resize_media_aspect_fit_never_upscales(spark):
+    """Integer aspect-fit: wide clamps width, tall clamps height, small
+    passes through; output dims never exceed the box or the input."""
+    import pandas as pd
+
+    inv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["d1", "d2", "d3", "d4"],
+                "media_ref": ["a.png", "b.png", "c.png", "d.png"],
+                "media_type": ["image"] * 4,
+                "width": [1920, 100, 30, 64],
+                "height": [1080, 800, 20, 64],
+            }
+        )
+    )
+    got = {
+        r["media_ref"]: (r["out_width"], r["out_height"])
+        for r in media.resize_media(inv, max_w=64, max_h=64, fake=True).collect()
+    }
+    assert got["a.png"] == (64, 36)  # wide: 1080*64//1920
+    assert got["b.png"] == (8, 64)  # tall: 100*64//800
+    assert got["c.png"] == (30, 20)  # already fits: untouched
+    assert got["d.png"] == (64, 64)  # exact box
+    rows = media.resize_media(inv, max_w=64, max_h=64, fake=True).collect()
+    assert all(len(r["thumb"]) == 16 for r in rows)  # md5 fake payload
