@@ -69,3 +69,42 @@ def start_incremental(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_ingest_metrics(
+    stream: DataFrame,
+    window_len: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed ingest metrics with a late-data watermark.
+
+    Input: any streaming DataFrame with ``event_ts timestamp`` and ``spans``
+    columns (e.g. the docs stream joined with crawl timestamps).  Output per
+    closed window: doc count, span count, media-span count.
+
+    The watermark bounds state: windows older than ``max(event_ts) -
+    watermark`` are finalized and evicted, and rows arriving later than that
+    are DROPPED — the crawl-ingest contract for out-of-order fetchers.  In
+    append output mode a window emits exactly once, when the watermark
+    passes its end — this is what makes the metrics table append-only and
+    idempotent downstream (each window row is immutable once written).
+    State per executor is O(open windows), independent of stream length.
+    """
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window_len).alias("win"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("spans")).alias("spans"),
+            F.sum(
+                F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
+            ).alias("media_spans"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "docs",
+            "spans",
+            "media_spans",
+        )
+    )

@@ -50,6 +50,78 @@ def test_streaming_matches_batch(spark, sf_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def test_windowed_metrics_watermark_drops_late_rows(spark):
+    """Watermarked event-time windows: append mode emits each closed window
+    exactly once, and a row arriving after the watermark passed its window
+    is dropped instead of mutating the already-emitted row."""
+    from kgx.sources.docs import SPAN_FIELDS
+
+    schema = (
+        f"doc_id string, spans array<struct<{SPAN_FIELDS}>>, "
+        "event_ts timestamp"
+    )
+
+    def drop(ts_docs, in_dir):
+        rows = [
+            (
+                f"d-{ts}",
+                [("text", "alpha beta.", "", 0), ("media", "", "s3://m/x.mp4", 1)],
+                ts,
+            )
+            for ts in ts_docs
+        ]
+        df = spark.createDataFrame(
+            rows,
+            f"doc_id string, spans array<struct<{SPAN_FIELDS}>>, event_ts string",
+        ).withColumn("event_ts", F.to_timestamp("event_ts"))
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_catchup(in_dir, out_dir):
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            incremental.windowed_ingest_metrics(
+                stream, window_len="5 minutes", watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", os.path.join(out_dir, "metrics"))
+            .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    in_dir = tempfile.mkdtemp(prefix="kgx_wm_in_")
+    out_dir = tempfile.mkdtemp(prefix="kgx_wm_out_")
+    try:
+        # batch 1: two windows open (10:00-10:05 x3 docs, 10:05-10:10 x1)
+        drop(
+            ["2026-01-01 10:00:00", "2026-01-01 10:01:00",
+             "2026-01-01 10:03:00", "2026-01-01 10:07:00"],
+            in_dir,
+        )
+        run_catchup(in_dir, out_dir)
+        # batch 2: 10:30 advances the watermark to 10:20 → both windows close
+        drop(["2026-01-01 10:30:00"], in_dir)
+        run_catchup(in_dir, out_dir)
+        # batch 3: a LATE row for the closed 10:00 window must be dropped
+        drop(["2026-01-01 10:01:30", "2026-01-01 10:31:00"], in_dir)
+        run_catchup(in_dir, out_dir)
+
+        got = {
+            (str(r["window_start"]), r["docs"], r["spans"], r["media_spans"])
+            for r in spark.read.parquet(os.path.join(out_dir, "metrics")).collect()
+        }
+        # exactly one immutable row per closed window; late d-10:01:30 absent
+        assert got == {
+            ("2026-01-01 10:00:00", 3, 6, 3),
+            ("2026-01-01 10:05:00", 1, 2, 1),
+        }, got
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_versioned_views(spark):
     rows = [
         ("d1", "a", "r1", 1),
