@@ -235,6 +235,14 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
 
+def q_fingerprints_winnowed(spark, sf_dir):
+    """MOSS-style winnowed rolling-hash fingerprints (partial-overlap
+    detection; zero shuffle until the tiny (doc_id, hash) distinct)."""
+    from kgx.operators import textstats
+
+    return textstats.winnowed_fingerprints(_documents(spark, sf_dir))
+
+
 def q_language_id(spark, sf_dir):
     """Stop-word-marker language guess (deterministic argmax)."""
     from kgx.operators import textstats
@@ -640,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
+        "fingerprints_winnowed": q_fingerprints_winnowed,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "media_inventory": q_media_inventory,
@@ -689,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_pairs": oracles.emb_near_dup_sql(),
         "text_stats": oracles.text_stats_sql(),
         "token_counts": oracles.token_counts_sql(),
+        "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),
         "language_id": oracles.language_id_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "media_inventory": oracles.media_inventory_sql(),

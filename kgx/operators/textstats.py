@@ -126,3 +126,42 @@ def fingerprints(documents: DataFrame) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
         ).alias("fingerprint"),
     )
+
+
+def winnowed_fingerprints(
+    documents: DataFrame, k: int = 8, window: int = 4
+) -> DataFrame:
+    """MOSS-style winnowed rolling fingerprints: hash every char k-gram of
+    the normalized text, slide a window of ``window`` consecutive k-gram
+    hashes, keep each window's minimum, dedup — the partial-overlap
+    detector (plagiarism / near-identical passage search) that whole-doc
+    md5 can't do.
+
+    Entirely per-row array expressions (sequence → transform → slice →
+    array_min → explode): zero shuffle before the final distinct, which
+    shuffles only (doc_id, 60-bit hash) pairs.  The guarantee winnowing
+    gives at 100 TB: any shared substring of length ≥ k + window - 1
+    between two documents produces at least one identical selected
+    fingerprint, while storing ~2/(window+1) of all k-gram hashes.
+    """
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    from kgx.functions.hashing import spark_md5_60
+
+    gram_hash = spark_md5_60(f"substring(norm, i, {k})")
+    t = documents.selectExpr("doc_id", f"{norm} AS norm").where(
+        F.length("norm") >= k + window - 1
+    )
+    hashed = t.selectExpr(
+        "doc_id",
+        f"transform(sequence(1, length(norm) - {k - 1}), i -> {gram_hash})"
+        " AS gram_hashes",
+    )
+    winnowed = hashed.selectExpr(
+        "doc_id",
+        f"transform(sequence(1, size(gram_hashes) - {window - 1}), "
+        f"j -> array_min(slice(gram_hashes, j, {window}))) AS wins",
+    )
+    return (
+        winnowed.select("doc_id", F.explode("wins").alias("fingerprint"))
+        .distinct()
+    )

@@ -621,6 +621,32 @@ FROM t WHERE bpe_tokens > 0
 """.strip()
 
 
+def winnowed_fingerprints_sql(k: int = 8, window: int = 4) -> str:
+    gram = _duck_md5_60(f"substr(norm, i, {k})")
+    return f"""
+WITH t AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+t2 AS (SELECT * FROM t WHERE length(norm) >= {k + window - 1}),
+hashed AS (
+    SELECT doc_id,
+           list_transform(range(1, length(norm) - {k - 1} + 1),
+                          i -> {gram}) AS gram_hashes
+    FROM t2
+),
+winnowed AS (
+    SELECT doc_id,
+           list_transform(range(1, len(gram_hashes) - {window - 1} + 1),
+                          j -> list_min(list_slice(gram_hashes, j, j + {window - 1})))
+               AS wins
+    FROM hashed
+),
+exploded AS (SELECT doc_id, unnest(wins) AS fingerprint FROM winnowed)
+SELECT DISTINCT doc_id, fingerprint FROM exploded
+""".strip()
+
+
 def language_id_sql() -> str:
     from kgx.operators.textstats import LANG_MARKERS
 

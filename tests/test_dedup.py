@@ -97,6 +97,43 @@ def test_text_stats_empty_and_tiny_docs(spark):
     assert rows[0]["token_count"] == 1
 
 
+def test_winnowed_fingerprints_overlap_guarantee(spark):
+    """Winnowing contract: any shared substring of length >= k + window - 1
+    yields at least one shared fingerprint; disjoint texts share none;
+    sub-threshold docs emit nothing.  Values cross-checked against the
+    DuckDB oracle (RE2/list-function parity)."""
+    from kgx.operators import textstats
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    texts = [
+        "AAA " + shared + " BBB",
+        "xyz " + shared + " uvw",
+        "qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp",
+        "short",
+    ]
+    df = _docs(spark, texts)
+    fp = textstats.winnowed_fingerprints(df, k=8, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]), "disjoint texts share none"
+    assert 3 not in by_doc, "sub-threshold doc emits nothing"
+
+    import duckdb
+
+    from kgx import oracles
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    want = {}
+    for doc, h in con.execute(oracles.winnowed_fingerprints_sql()).fetchall():
+        want.setdefault(doc, set()).add(h)
+    assert want == by_doc
+
+
 def test_token_counts_bpe_vs_ws(spark):
     """BPE-ish regex tokenizer: contraction split, digit/letter runs, symbol
     runs, whitespace runs — and Java-vs-RE2 parity checked against DuckDB
