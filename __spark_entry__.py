@@ -192,6 +192,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Corpus near-dup clustering: LSH pairs -> connected components ->
+    canonical doc per cluster, every doc covered (keep-one dedup policy)."""
+    from kgx.operators import dedup
+
+    return dedup.near_dup_clusters(_documents(spark, sf_dir), threshold=0.5)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """64-bit SimHash fingerprints, banded candidates, Hamming <= 3."""
     from kgx.operators import dedup
@@ -642,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -692,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_jaccard_pairs": oracles.dedup_jaccard_sql(),
         "dedup_minhash_lsh": oracles.dedup_minhash_sql(),
+        "dedup_clusters": oracles.dedup_clusters_sql(),
         "dedup_simhash_pairs": oracles.dedup_simhash_sql(),
         "ann_topk": oracles.ann_topk_sql(),
         "ann_ivf_topk": oracles.ann_ivf_sql(),

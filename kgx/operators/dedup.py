@@ -237,6 +237,65 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Corpus-level near-duplicate clustering: MinHash-LSH pairs →
+    connected components → one canonical document per cluster.
+
+    This is the "dedup the corpus" end-to-end: near-dup similarity is not
+    transitive (A~B, B~C does not imply A~C above threshold), so pairwise
+    output alone under-removes; the standard resolution (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") is to take
+    connected components of the near-dup graph and keep one representative
+    per component.  Output covers EVERY document:
+
+        (doc_id, canonical_doc_id, cluster_size, is_duplicate)
+
+    with ``canonical_doc_id`` = lexicographic min doc_id of the cluster,
+    singletons mapping to themselves, ``is_duplicate`` marking the rows a
+    keep-one policy would drop.
+
+    Scale shape: the pair graph is LSH-bucketed and Jaccard-verified
+    (sparse — |pairs| ≪ |corpus|), CC runs on that graph only (driver
+    union-find below the edge threshold, large-star/small-star above), and
+    the map back to the corpus is a plain doc_id equi-join AQE can
+    broadcast when the component map is small.  The window count shuffles
+    only (doc_id, canonical_doc_id) pairs, never text.
+    """
+    from kgx.operators.linking import connected_components
+
+    pairs = minhash_lsh_pairs(
+        documents, n, num_hashes, bands, threshold, max_bucket
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src_label"), F.col("doc_b").alias("dst_label")
+    )
+    cc = connected_components(edges).withColumnRenamed("label", "doc_id")
+    from pyspark.sql import Window
+
+    mapped = (
+        documents.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_doc_id"),
+        )
+    )
+    w = Window.partitionBy("canonical_doc_id")
+    return mapped.select(
+        "doc_id",
+        "canonical_doc_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

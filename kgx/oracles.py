@@ -325,6 +325,40 @@ WHERE jaccard >= {threshold}
 """.strip()
 
 
+def dedup_clusters_sql(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.5, max_bucket: int = 200
+) -> str:
+    """Oracle for corpus near-dup clustering: the MinHash-LSH pair query as a
+    CTE, then connected components via a recursive reachability CTE (min
+    label over everything reachable == the engine's union-find/star result).
+    Transitive closure is O(sum |C|^2) — fine at oracle scale, never the
+    engine's plan."""
+    base = dedup_minhash_sql(num_hashes, bands, threshold, max_bucket)
+    body = base[len("WITH ") :]
+    head, tail = body.rsplit("SELECT doc_a, doc_b, jaccard", 1)
+    assert tail.strip().startswith("FROM cands")
+    return f"""
+WITH RECURSIVE {head.rstrip().rstrip(',')},
+pairs AS (SELECT doc_a, doc_b, jaccard {tail.strip()}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS canonical_doc_id FROM reach GROUP BY node)
+SELECT doc_id,
+       canonical_doc_id,
+       count(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size,
+       doc_id <> canonical_doc_id AS is_duplicate
+FROM comp
+""".strip()
+
+
 def _duck_char_shingles(col: str, n: int = 3) -> str:
     """Distinct char n-gram shingles of '^^'||lower(col)||'$$' — mirror of
     kgx.operators.dedup.char_shingle_expr."""

@@ -72,6 +72,31 @@ def test_jaccard_hot_shingle_guard_collapses_boilerplate_pairs(spark):
     assert guarded == {(10, 11)}  # guard kills boilerplate, keeps the real dup
 
 
+def test_near_dup_clusters_transitive_chain(spark):
+    # A~B and B~C above threshold, A~C below: pairwise output alone would
+    # leave {A,B} and {B,C}; clustering must merge all three (keep-one
+    # dedup needs the transitive closure), while a far doc stays singleton
+    a = BASE
+    b = BASE.replace("kappa", "lambda")
+    c = b.replace("alpha beta", "mu nu")
+    far = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [a, b, c, far])
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and (1, 2) in pairs and (0, 2) not in pairs
+
+    rows = {r["doc_id"]: r for r in dedup.near_dup_clusters(df, threshold=0.5).collect()}
+    assert {rows[i]["canonical_doc_id"] for i in (0, 1, 2)} == {0}
+    assert all(rows[i]["cluster_size"] == 3 for i in (0, 1, 2))
+    assert rows[0]["is_duplicate"] is False
+    assert rows[1]["is_duplicate"] and rows[2]["is_duplicate"]
+    assert rows[3]["canonical_doc_id"] == 3 and rows[3]["cluster_size"] == 1
+    assert rows[3]["is_duplicate"] is False
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = _docs(spark, [BASE, BASE, "entirely disjoint vocabulary set list"])
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(df).collect()}
