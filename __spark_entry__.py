@@ -236,6 +236,13 @@ def q_text_stats(spark, sf_dir):
     return textstats.text_stats(_documents(spark, sf_dir))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher/C4 composite quality gate: named rule verdicts per doc."""
+    from kgx.operators import textstats
+
+    return textstats.quality_filter(_documents(spark, sf_dir), min_tokens=20)
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish-regex token budgeting (training-data pipeline)."""
     from kgx.operators import textstats
@@ -656,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "text_stats": q_text_stats,
+        "quality_filter": q_quality_filter,
         "token_counts": q_token_counts,
         "fingerprints_winnowed": q_fingerprints_winnowed,
         "language_id": q_language_id,
@@ -707,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracles.ann_ivf_sql(),
         "emb_near_dup_pairs": oracles.emb_near_dup_sql(),
         "text_stats": oracles.text_stats_sql(),
+        "quality_filter": oracles.quality_filter_sql(min_tokens=20),
         "token_counts": oracles.token_counts_sql(),
         "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),
         "language_id": oracles.language_id_sql(),

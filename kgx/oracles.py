@@ -681,6 +681,63 @@ SELECT DISTINCT doc_id, fingerprint FROM exploded
 """.strip()
 
 
+def quality_filter_sql(
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_unique_ratio: float = 0.3,
+    min_stop_hits: int = 2,
+) -> str:
+    """Oracle for the Gopher/C4 composite quality gate — same rule order
+    (QUALITY_RULES), same rational arithmetic, CASE-composed reasons."""
+    from kgx.operators.textstats import LANG_MARKERS, QUALITY_RULES
+
+    toks = "list_filter(str_split(text, ' '), t -> t <> '')"
+    in_list = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    conds = {
+        "too_few_tokens": f"n_tokens < {min_tokens}",
+        "too_many_tokens": f"n_tokens > {max_tokens}",
+        "short_words": f"token_chars / n_tokens < {min_mean_word_len}",
+        "long_words": f"token_chars / n_tokens > {max_mean_word_len}",
+        "symbol_heavy": f"punct / n_tokens > {max_symbol_ratio}",
+        "repetitive": f"uniq / n_tokens < {min_unique_ratio}",
+        "no_stop_words": f"stop_hits < {min_stop_hits}",
+    }
+    cases = ",\n        ".join(
+        f"CASE WHEN {conds[name]} THEN '{name}' END" for name in QUALITY_RULES
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           CAST(length(array_to_string({toks}, '')) AS BIGINT) AS token_chars,
+           CAST(len(list_distinct({toks})) AS BIGINT) AS uniq,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS punct,
+           CAST(len(list_filter({toks}, t -> t IN ({in_list}))) AS BIGINT) AS stop_hits
+    FROM documents
+),
+t2 AS (SELECT * FROM t WHERE n_tokens > 0),
+r AS (
+    SELECT *,
+           coalesce(array_to_string(list_filter([
+        {cases}
+    ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+    FROM t2
+)
+SELECT doc_id,
+       n_tokens,
+       token_chars / n_tokens AS mean_word_len,
+       punct / n_tokens AS symbol_ratio,
+       uniq / n_tokens AS unique_ratio,
+       stop_hits,
+       fail_reasons = '' AS passes,
+       fail_reasons
+FROM r
+""".strip()
+
+
 def language_id_sql() -> str:
     from kgx.operators.textstats import LANG_MARKERS
 

@@ -122,6 +122,34 @@ def test_text_stats_empty_and_tiny_docs(spark):
     assert rows[0]["token_count"] == 1
 
 
+def test_quality_filter_rules(spark):
+    from kgx.operators import textstats
+
+    docs = [
+        # 15 tokens, stop words present, clean → passes
+        "the quick brown fox and jumps over of the lazy dog is a nice day",
+        # 2 tokens → too_few_tokens (and short_words: mean 2.5)
+        "the of",
+        # 3 unique / 22 tokens → repetitive only
+        "the is " + "spam " * 20,
+        # 6 of 8 tokens end in punctuation → symbol_heavy
+        "the is aaa. bbb! ccc? ddd, eee; fff:",
+        # one 16-char token repeated → long_words + repetitive + no_stop_words
+        ("abcdefghijklmnop " * 6).strip(),
+    ]
+    df = _docs(spark, docs)
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.quality_filter(df, min_tokens=5).collect()
+    }
+    assert rows[0]["passes"] and rows[0]["fail_reasons"] == ""
+    assert "too_few_tokens" in rows[1]["fail_reasons"]
+    assert rows[2]["fail_reasons"] == "repetitive"
+    assert rows[3]["fail_reasons"] == "symbol_heavy"
+    assert rows[4]["fail_reasons"] == "long_words,repetitive,no_stop_words"
+    assert not any(rows[i]["passes"] for i in (1, 2, 3, 4))
+
+
 def test_winnowed_fingerprints_overlap_guarantee(spark):
     """Winnowing contract: any shared substring of length >= k + window - 1
     yields at least one shared fingerprint; disjoint texts share none;
