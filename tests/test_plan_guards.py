@@ -98,6 +98,33 @@ def test_jn2_graph_fetch_has_no_exchange(spark, sf_dir):
 
 
 @pytest.mark.usefixtures("spark")
+def test_quality_filter_has_no_exchange_and_no_udf(spark, sf_dir):
+    """The Gopher/C4 quality gate is a pure codegen projection — an
+    Exchange or a Python eval node in its plan is a regression."""
+    import __spark_entry__ as em
+
+    df = em.queries()["quality_filter"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_dedup_clusters_plan_has_no_cartesian(spark, sf_dir):
+    """Corpus clustering must stay LSH-bucketed end-to-end: a
+    CartesianProduct/BroadcastNestedLoopJoin anywhere in the plan means the
+    pair graph degenerated to all-pairs."""
+    import __spark_entry__ as em
+
+    df = em.queries()["dedup_clusters"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_fn_scalar_suite_has_no_exchange(spark, sf_dir):
     """The scalar family is a single projection — any Exchange in its plan
     is a regression."""

@@ -43,6 +43,13 @@ SECTIONS = [
     ("token_counts",
      "Dual tokenizer counts (whitespace + BPE-ish regex) in one zero-"
      "exchange projection; regex runs JVM-side inside codegen."),
+    ("quality_filter",
+     "Gopher/C4 composite gate: all seven rule verdicts + composed "
+     "fail_reasons in ONE codegen projection — zero exchanges, no Python."),
+    ("dedup_clusters",
+     "Corpus keep-one dedup: LSH-bucketed pair graph (skew-capped band "
+     "join), connected components over pairs only, then a doc_id equi-join "
+     "back to the corpus — no CartesianProduct at any stage."),
 ]
 
 
