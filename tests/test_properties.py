@@ -142,6 +142,72 @@ def test_classify_entity_total(text):
         }
 
 
+def test_quality_filter_matches_python_reference_bulk(spark):
+    """Randomized (seeded) adversarial texts — unicode, punctuation runs,
+    repeated tokens, tabs/newlines inside tokens — get identical verdicts
+    from the Spark quality gate and a pure-Python twin of its semantics."""
+    import random
+
+    import pandas as pd
+
+    from kgx.operators import textstats
+
+    rng = random.Random(7)
+    vocab = [
+        "the", "and", "of", "is", "a", "word", "λambda", "x.y!",
+        "abcdefghijklmnop", "spam", "a,b;c:", "...", "ß", "t\tab", "nl\nx",
+    ]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 80))) for _ in range(120)
+    ]
+    texts += ["", " ", "   ", ".!?,;:", "the " * 200]
+
+    min_tokens, max_tokens = 5, 120
+    min_wl, max_wl, max_sym, min_uniq, min_stop = 3.0, 10.0, 0.1, 0.3, 2
+
+    def twin(text):
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            return None
+        n = len(toks)
+        chars = sum(len(t) for t in toks)
+        uniq = len(set(toks))
+        punct = sum(c in ".!?,;:" for c in text)
+        stop = sum(t in textstats.LANG_MARKERS["en"] for t in toks)
+        conds = {
+            "too_few_tokens": n < min_tokens,
+            "too_many_tokens": n > max_tokens,
+            "short_words": chars / n < min_wl,
+            "long_words": chars / n > max_wl,
+            "symbol_heavy": punct / n > max_sym,
+            "repetitive": uniq / n < min_uniq,
+            "no_stop_words": stop < min_stop,
+        }
+        return ",".join(r for r in textstats.QUALITY_RULES if conds[r])
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r["doc_id"]: (r["fail_reasons"], r["passes"])
+        for r in textstats.quality_filter(
+            df,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            min_mean_word_len=min_wl,
+            max_mean_word_len=max_wl,
+            max_symbol_ratio=max_sym,
+            min_unique_ratio=min_uniq,
+            min_stop_hits=min_stop,
+        ).collect()
+    }
+    expected = {i: twin(t) for i, t in enumerate(texts)}
+    assert set(got) == {i for i, e in expected.items() if e is not None}
+    for i, (reasons, passes) in got.items():
+        assert reasons == expected[i], (i, texts[i])
+        assert passes == (reasons == "")
+
+
 def test_span_roundtrip_randomized_bulk(spark):
     """Randomized (seeded) span arrays — arbitrary kinds/texts/media_refs,
     including empty docs and media-only docs — survive explode → shuffle →
