@@ -250,6 +250,40 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction cascade (email/SSN/phone/IPv4) with per-category counts
+    over a planted-PII fixture — the driver corpus is clean word salad, so
+    the fixture suffix (one dialect-neutral SQL string shared with the
+    oracle) plants deterministic PII in 2 of 3 docs.  Pure projection."""
+    from kgx.operators import curation
+
+    docs = _documents(spark, sf_dir).selectExpr(
+        "doc_id", curation.pii_fixture_expr() + " AS text"
+    )
+    return curation.pii_scrub(docs)
+
+
+def q_sentence_dedup(spark, sf_dir):
+    """Cross-document duplicate-sentence stats (CCNet/RefinedWeb pass) over
+    the narrative corpus; shuffles carry 60-bit hashes, never text."""
+    from kgx.operators import curation
+    from kgx.sources import corpus
+
+    return curation.sentence_dedup_stats(
+        corpus.narrative_documents(_documents(spark, sf_dir))
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """n-gram decontamination screen vs the deterministic benchmark slice
+    (doc_id % 19 = 0).  n=3 suits this corpus' tiny vocabulary — production
+    eval screens use 8-13-grams — and the benchmark hash set is broadcast
+    (bounded by eval-suite size by construction)."""
+    from kgx.operators import curation
+
+    return curation.contamination_screen(_documents(spark, sf_dir), n=3)
+
+
 def q_fingerprints_winnowed(spark, sf_dir):
     """MOSS-style winnowed rolling-hash fingerprints (partial-overlap
     detection; zero shuffle until the tiny (doc_id, hash) distinct)."""
@@ -665,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
         "token_counts": q_token_counts,
+        "pii_scrub": q_pii_scrub,
+        "sentence_dedup": q_sentence_dedup,
+        "contamination": q_contamination,
         "fingerprints_winnowed": q_fingerprints_winnowed,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
@@ -717,6 +754,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracles.text_stats_sql(),
         "quality_filter": oracles.quality_filter_sql(min_tokens=20),
         "token_counts": oracles.token_counts_sql(),
+        "pii_scrub": oracles.pii_scrub_sql(),
+        "sentence_dedup": oracles.sentence_dedup_sql(),
+        "contamination": oracles.contamination_sql(bench_mod=19, n=3),
         "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),
         "language_id": oracles.language_id_sql(),
         "fingerprints": oracles.fingerprints_sql(),

@@ -1,0 +1,204 @@
+"""Corpus-curation operators beyond dedup: PII scrubbing, sentence-level
+duplication stats, and benchmark-decontamination screening.
+
+These are the remaining standard passes a large-scale training-data pipeline
+runs over a web corpus (the reference extractor has no equivalent — it
+ingests one trusted document per HTTP request, reference main.py:69-117;
+at 10^12 docs the corpus is adversarial and these gates run *before*
+extraction):
+
+- :func:`pii_scrub` — regex redaction of emails / SSNs / phone numbers /
+  IPv4s with per-category counts (the C4-style "remove lines with PII"
+  pass, applied per document).
+- :func:`sentence_dedup_stats` — cross-document duplicate-sentence
+  detection (CCNet / RefinedWeb style): the per-sentence document
+  frequency, aggregated per document.
+- :func:`contamination_screen` — n-gram-overlap decontamination against a
+  held-out benchmark set (the GPT-3 appendix-C / PaLM 13-gram screen
+  shape).
+
+Every operator is built-in Spark SQL functions only (JVM-side, codegen, no
+UDFs), with regex constructs restricted to the Java-regex ∩ RE2 common
+subset (no lookaround, no backrefs) so the DuckDB oracle replays them
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgx.functions.hashing import spark_md5_60
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) in fixed cascade order.  Patterns use only
+#: the Java-regex ∩ RE2 subset; ``\b`` is ASCII-equivalent in both engines.
+#: SSN precedes phone so the 3-2-4 digit shape is never half-eaten by a
+#: later pass; email precedes IPv4 so a redacted mailbox can't expose a
+#: digit-run domain to the address pattern.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IPV4]"),
+)
+
+#: Dialect-neutral SQL suffix (Spark SQL ∩ DuckDB: ``||``, ``lpad``,
+#: ``cast(.. as string)``, ``%``) that plants deterministic PII in 2 of
+#: every 3 documents — the gate-query fixture, since the driver corpus is
+#: clean word-salad text.  Kept in ONE string so the engine and the oracle
+#: can never drift.
+PII_FIXTURE_SUFFIX = (
+    "' contact user' || cast(doc_id % 89 as string) || '@mail'"
+    " || cast(doc_id % 7 as string) || '.net call 415-'"
+    " || lpad(cast((doc_id * 7) % 1000 as string), 3, '0') || '-'"
+    " || lpad(cast(doc_id % 10000 as string), 4, '0')"
+    " || ' ssn 90' || cast(doc_id % 10 as string) || '-12-'"
+    " || lpad(cast((doc_id * 3) % 10000 as string), 4, '0')"
+    " || ' from 10.' || cast(doc_id % 256 as string) || '.3.'"
+    " || cast(doc_id % 250 as string)"
+)
+
+
+def pii_fixture_expr() -> str:
+    """``text`` column expression planting :data:`PII_FIXTURE_SUFFIX` in
+    docs with ``doc_id % 3 != 2`` (valid in both Spark SQL and DuckDB)."""
+    return (
+        f"CASE WHEN doc_id % 3 = 2 THEN text"
+        f" ELSE text || {PII_FIXTURE_SUFFIX} END"
+    )
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_email, n_ssn, n_phone, n_ipv4, n_pii, clean_text).
+
+    Counts are per-pattern matches against the ORIGINAL text (the audit
+    number a compliance report wants); ``clean_text`` applies the
+    :data:`PII_PATTERNS` replacement cascade in order.  Pure projection:
+    zero shuffle, whole-stage codegen, scales linearly with input splits —
+    the plan shape this pass must have when it fronts a 100 TB corpus.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    out = documents.select("doc_id", *counts, clean.alias("clean_text"))
+    total = sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS), F.lit(0))
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        total.cast("long").alias("n_pii"),
+        "clean_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sentence-level duplication
+# ---------------------------------------------------------------------------
+
+#: sentence splitter shared with the oracle: literal '.' split (the
+#: narrative corpus terminates every sentence with '.'), trim, drop empties,
+#: lowercase for the identity hash.  Spark regex '[.]' == DuckDB literal '.'.
+_SENT_EXPR = (
+    "filter(transform(split(text, '[.]'), s -> trim(s)), s -> s != '')"
+)
+
+
+def sentence_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Cross-document duplicate-sentence stats (CCNet / RefinedWeb pass).
+
+    For every document: ``n_sentences``, ``n_shared`` (sentences whose
+    normalized form appears in more than one distinct document) and
+    ``shared_ratio``.  This is the detection half of sentence-level dedup;
+    a removal pass keeps the first global occurrence of each sentence.
+
+    Scale shape: sentences collapse to 60-bit hashes before any exchange,
+    so both shuffles (the document-frequency aggregation and the hash
+    equi-join back to instances) carry ``(bigint, bigint)`` rows — never
+    text.  Hot sentences ("click here to subscribe") concentrate on one
+    key only inside the tiny ``df``-per-hash aggregate, not the join
+    (instances stay spread across their documents' partitions), and AQE
+    handles residual skew.
+    """
+    inst = documents.select(
+        "doc_id", F.explode(F.expr(_SENT_EXPR)).alias("sentence")
+    ).select("doc_id", F.expr(spark_md5_60("lower(sentence)")).alias("h"))
+    df_per_h = inst.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        inst.join(df_per_h, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_sentences")).alias("shared_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_screen(
+    documents: DataFrame, bench_mod: int = 19, n: int = 5
+) -> DataFrame:
+    """n-gram-overlap decontamination screen (GPT-3 appendix C shape).
+
+    The benchmark set is the deterministic slice ``doc_id % bench_mod = 0``
+    (standing in for an eval suite; at production it is a real benchmark
+    table).  Every OTHER document is scored by the fraction of its distinct
+    word ``n``-grams that also occur anywhere in the benchmark set:
+    (doc_id, n_shingles, n_contaminated, contamination).
+
+    Scale shape: the benchmark shingle-hash set is bounded by the eval
+    suite's size (millions of hashes at worst — eval suites are small by
+    construction, unlike the unbounded label tables that forbid broadcast
+    in kgx.operators.linking), so it is explicitly broadcast and the scan
+    side never shuffles: hash, broadcast-hash-join, partial aggregate per
+    doc. Docs with no ``n``-gram (shorter than ``n`` words) are excluded,
+    mirroring the guarded shingle expression.
+    """
+    from kgx.operators.dedup import shingle_table
+
+    sh = shingle_table(documents, n=n)
+    bench = (
+        sh.where(F.col("doc_id") % bench_mod == 0)
+        .select("shingle_hash")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.where(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+        )
+    )

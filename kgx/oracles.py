@@ -1282,3 +1282,83 @@ SELECT doc_id,
        CAST(length(t) AS BIGINT) AS n_chars
 FROM variant
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# corpus curation (kgx.operators.curation)
+# ---------------------------------------------------------------------------
+
+def pii_scrub_sql() -> str:
+    """Oracle for the PII redaction cascade over the planted-PII fixture
+    (mirror of kgx.operators.curation.pii_scrub + pii_fixture_expr; the
+    fixture suffix is literally the SAME SQL string both engines execute)."""
+    from kgx.operators.curation import PII_PATTERNS, pii_fixture_expr
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH fixture AS (SELECT doc_id, {pii_fixture_expr()} AS text FROM documents),
+scrubbed AS (
+    SELECT doc_id,
+       {counts},
+       {clean} AS clean_text
+    FROM fixture
+)
+SELECT doc_id, {", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)},
+       CAST({total} AS BIGINT) AS n_pii, clean_text
+FROM scrubbed
+""".strip()
+
+
+def sentence_dedup_sql() -> str:
+    """Oracle for the cross-document duplicate-sentence stats over the
+    narrative corpus (mirror of kgx.operators.curation.sentence_dedup_stats:
+    literal-'.' split, trim, drop empties, lowercase 60-bit hash)."""
+    return f"""
+WITH {NARRATIVE_CTE},
+sents AS (
+    SELECT doc_id, {_duck_md5_60('lower(s)')} AS h
+    FROM (
+        SELECT doc_id,
+               unnest(list_filter(list_transform(str_split(text, '.'),
+                                                 s -> trim(s)),
+                                  s -> s <> '')) AS s
+        FROM narrative
+    )
+),
+dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM sents GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) / count(*) AS shared_ratio
+FROM sents JOIN dfh USING (h)
+GROUP BY doc_id
+""".strip()
+
+
+def contamination_sql(bench_mod: int = 19, n: int = 5) -> str:
+    """Oracle for the n-gram decontamination screen (mirror of
+    kgx.operators.curation.contamination_screen: benchmark slice
+    doc_id % bench_mod = 0, distinct word n-gram hashes, overlap fraction)."""
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {_duck_md5_60('shingle')} AS shingle_hash
+    FROM (SELECT doc_id, unnest({_duck_shingles(n)}) AS shingle FROM documents)
+),
+bench AS (SELECT DISTINCT shingle_hash FROM sh WHERE doc_id % {bench_mod} = 0),
+train AS (SELECT * FROM sh WHERE doc_id % {bench_mod} != 0)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.shingle_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       sum(CASE WHEN b.shingle_hash IS NOT NULL THEN 1 ELSE 0 END) / count(*)
+           AS contamination
+FROM train t LEFT JOIN bench b ON t.shingle_hash = b.shingle_hash
+GROUP BY t.doc_id
+""".strip()

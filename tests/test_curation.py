@@ -1,0 +1,127 @@
+"""Corpus-curation operators: PII scrub, sentence dedup, decontamination."""
+
+import pandas as pd
+import pytest
+
+from kgx.operators import curation
+
+
+def _plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.usefixtures("spark")
+def test_pii_scrub_counts_and_cascade(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "mail a.b+c@ex.co and d@e.org ssn 123-45-6789 call 415-555-0199",
+                    "server at 10.0.3.7 and 192.168.1.255 no pii otherwise",
+                    "clean text with just words",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.pii_scrub(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ssn"], out[1]["n_phone"]) == (2, 1, 1)
+    assert out[1]["n_pii"] == 4
+    assert "[EMAIL]" in out[1]["clean_text"] and "[SSN]" in out[1]["clean_text"]
+    assert "123-45-6789" not in out[1]["clean_text"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_pii"] == 2
+    assert out[2]["clean_text"].count("[IPV4]") == 2
+    assert out[3]["n_pii"] == 0 and out[3]["clean_text"] == docs.collect()[2]["text"]
+
+
+@pytest.mark.usefixtures("spark")
+def test_pii_ssn_not_half_eaten_by_phone(spark):
+    """Cascade order: the SSN pattern must claim 3-2-4 digit runs before the
+    phone pattern can eat a 3-3-4 lookalike prefix."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["ssn 900-12-3456 tel 900-123-4567"]})
+    )
+    row = curation.pii_scrub(docs).collect()[0]
+    assert row["n_ssn"] == 1 and row["n_phone"] == 1
+    assert "[SSN]" in row["clean_text"] and "[PHONE]" in row["clean_text"]
+
+
+@pytest.mark.usefixtures("spark")
+def test_pii_scrub_plan_is_pure_projection(spark, sf_dir):
+    """Zero exchange, zero Python crossing — the pass fronts the 100 TB scan."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+@pytest.mark.usefixtures("spark")
+def test_sentence_dedup_stats_small(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "Click here to subscribe. Alpha beta gamma.",
+                    "click here to subscribe. Delta epsilon.",
+                    "Unique sentence one. Unique sentence two.",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.sentence_dedup_stats(docs).collect()}
+    # the boilerplate sentence is shared case-insensitively across docs 1+2
+    assert out[1]["n_sentences"] == 2 and out[1]["n_shared"] == 1
+    assert out[2]["n_shared"] == 1 and out[2]["shared_ratio"] == 0.5
+    assert out[3]["n_shared"] == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_sentence_dedup_shuffle_carries_hashes_not_text(spark, sf_dir):
+    """Both exchanges must partition on the 60-bit hash / doc_id — the
+    sentence string itself must be projected away before any exchange."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["sentence_dedup"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "sentence" not in line and "text" not in line, line
+
+
+@pytest.mark.usefixtures("spark")
+def test_contamination_screen_small(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the quick brown fox jumps",  # benchmark slice (0 % 19 == 0)
+                    "the quick brown cat sits",  # shares 'the quick brown'
+                    "entirely different words here now",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curation.contamination_screen(docs, bench_mod=19, n=3).collect()
+    }
+    assert 0 not in out  # benchmark docs are not scored
+    assert out[1]["n_shingles"] == 3 and out[1]["n_contaminated"] == 1
+    assert out[2]["n_contaminated"] == 0 and out[2]["contamination"] == 0.0
+
+
+@pytest.mark.usefixtures("spark")
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    """The eval-suite hash set is bounded by construction → must broadcast;
+    the train side must not shuffle before the join."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
