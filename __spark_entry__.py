@@ -274,6 +274,30 @@ def q_sentence_dedup(spark, sf_dir):
     )
 
 
+def q_sentence_prune(spark, sf_dir):
+    """Removal half of the CCNet sentence dedup: keep each sentence's first
+    global occurrence, rebuild per-doc text; text crosses only the final
+    doc_id equi-join — every other exchange carries bigints."""
+    from kgx.operators import curation
+    from kgx.sources import corpus
+
+    return curation.sentence_prune(
+        corpus.narrative_documents(_documents(spark, sf_dir))
+    )
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Balance-to-minority stratified sampling over the domain fixture
+    strata (deterministic hash-Bernoulli; integer-bp rates)."""
+    from kgx.operators import curation
+
+    docs = _documents(spark, sf_dir)
+    strata = docs.selectExpr(
+        "doc_id", curation.DOMAIN_FIXTURE_EXPR + " AS stratum"
+    )
+    return curation.balanced_sample(docs, strata)
+
+
 def q_contamination(spark, sf_dir):
     """n-gram decontamination screen vs the deterministic benchmark slice
     (doc_id % 19 = 0).  n=3 suits this corpus' tiny vocabulary — production
@@ -701,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "pii_scrub": q_pii_scrub,
         "sentence_dedup": q_sentence_dedup,
+        "sentence_prune": q_sentence_prune,
+        "balanced_sample": q_balanced_sample,
         "contamination": q_contamination,
         "fingerprints_winnowed": q_fingerprints_winnowed,
         "language_id": q_language_id,
@@ -756,6 +782,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.token_counts_sql(),
         "pii_scrub": oracles.pii_scrub_sql(),
         "sentence_dedup": oracles.sentence_dedup_sql(),
+        "sentence_prune": oracles.sentence_prune_sql(),
+        "balanced_sample": oracles.balanced_sample_sql(),
         "contamination": oracles.contamination_sql(bench_mod=19, n=3),
         "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),
         "language_id": oracles.language_id_sql(),

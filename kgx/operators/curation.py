@@ -152,6 +152,133 @@ def sentence_dedup_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def sentence_prune(documents: DataFrame) -> DataFrame:
+    """Keep-first-occurrence sentence-level dedup — the removal half of the
+    CCNet pass (:func:`sentence_dedup_stats` is the detection half).
+
+    Every distinct normalized sentence keeps exactly ONE instance corpus-wide:
+    the occurrence with the smallest ``(doc_id, idx)`` order key.  Output per
+    document: ``(doc_id, n_sentences, n_kept, pruned_text)`` where
+    ``pruned_text`` re-joins the surviving sentences in original order with
+    ``'. '``.
+
+    Scale shape — text never crosses an exchange: the explode projects the
+    sentence away immediately (keeping only ``(doc_id, idx, h)`` bigints), the
+    first-occurrence aggregate and the keep-key join shuffle pure bigints, and
+    the surviving 0-based index *array* joins back to the one-row-per-document
+    table where a position-aware higher-order ``filter`` rebuilds the text
+    map-side.  The only exchange touching text is that final doc_id equi-join.
+    """
+    sents = F.expr(_SENT_EXPR)
+    # order key: doc_id * 2^20 + idx (narrative docs are far below 2^20
+    # sentences; documents.doc_id is a bigint) — a single bigint both engines
+    # compare identically, avoiding cross-engine struct-ordering semantics.
+    inst = documents.select(
+        "doc_id", F.posexplode(sents).alias("idx", "sentence")
+    ).select(
+        "doc_id",
+        "idx",
+        F.expr(spark_md5_60("lower(sentence)")).alias("h"),
+        (F.col("doc_id") * (1 << 20) + F.col("idx")).alias("k"),
+    )
+    first = inst.groupBy("h").agg(F.min("k").alias("k_min"))
+    kept = (
+        inst.join(first, "h")
+        .where(F.col("k") == F.col("k_min"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("kept_idx"))
+    )
+    return (
+        documents.select("doc_id", sents.alias("sents"))
+        .where(F.size("sents") > 0)
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("sents").cast("long").alias("n_sentences"),
+            F.coalesce(F.size("kept_idx"), F.lit(0)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "filter(sents, (s, i) -> array_contains("
+                    "coalesce(kept_idx, array()), i))"
+                ),
+                ". ",
+            ).alias("pruned_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified corpus sampling
+# ---------------------------------------------------------------------------
+
+#: Dialect-neutral stratum fixture for the gate query (the driver corpus is
+#: uniformly English, so language is a degenerate stratum; this stands in for
+#: the crawl-source/domain column a production corpus carries): 60% web,
+#: 20% books, 10% code, 10% wiki.  ONE string shared with the oracle.
+DOMAIN_FIXTURE_EXPR = (
+    "CASE WHEN doc_id % 10 < 6 THEN 'web'"
+    " WHEN doc_id % 10 < 8 THEN 'books'"
+    " WHEN doc_id % 10 < 9 THEN 'code'"
+    " ELSE 'wiki' END"
+)
+
+
+def balanced_sample(documents: DataFrame, strata: DataFrame | None = None) -> DataFrame:
+    """Deterministic balance-to-minority stratified sampling.
+
+    Given a per-document stratum label (default: :func:`language_id
+    <kgx.operators.textstats.language_id>` over the corpus), each stratum is
+    downsampled toward the SMALLEST stratum's size with a per-stratum keep
+    rate in basis points ``rate_bp = min(10000, (10000 * min_count) div
+    count)`` — pure bigint arithmetic, so the rate is bit-identical across
+    engines.  Selection is the deterministic hash-Bernoulli
+    ``md5_60(doc_id) % 10000 < rate_bp`` — reproducible under re-runs,
+    restarts, and repartitioning, unlike ``DataFrame.sample`` whose output
+    depends on partition layout.
+
+    Returns per-stratum audit stats ``(stratum, n_docs, rate_bp,
+    n_sampled)``.  Scale shape: the stratum-size aggregate is tiny (bounded
+    by the label vocabulary), rates broadcast back, and the Bernoulli filter
+    is a stateless map — no shuffle ever carries text.
+    """
+    if strata is None:
+        from kgx.operators.textstats import language_id
+
+        strata = language_id(documents).select(
+            "doc_id", F.col("lang_guess").alias("stratum")
+        )
+    counts = strata.groupBy("stratum").agg(F.count("*").alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "stratum",
+        "n_docs",
+        F.expr("least(10000, (10000 * min_n) div n_docs)")
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    picked = (
+        strata.select(
+            "stratum",
+            (
+                F.expr(spark_md5_60("cast(doc_id as string)")) % 10000
+            ).alias("u"),
+        )
+        .join(F.broadcast(rates.select("stratum", "rate_bp")), "stratum")
+        .where(F.col("u") < F.col("rate_bp"))
+        .groupBy("stratum")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    return (
+        rates.join(picked, "stratum", "left")
+        .select(
+            "stratum",
+            "n_docs",
+            "rate_bp",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -1362,3 +1362,71 @@ SELECT t.doc_id,
 FROM train t LEFT JOIN bench b ON t.shingle_hash = b.shingle_hash
 GROUP BY t.doc_id
 """.strip()
+
+
+def sentence_prune_sql() -> str:
+    """Oracle for keep-first-occurrence sentence dedup (mirror of
+    kgx.operators.curation.sentence_prune: 0-based sentence index, order key
+    doc_id * 2^20 + idx, min-key instance survives, original-order rejoin
+    with '. ')."""
+    return f"""
+WITH {NARRATIVE_CTE},
+sd AS (
+    SELECT doc_id,
+           list_filter(list_transform(str_split(text, '.'), s -> trim(s)),
+                       s -> s <> '') AS sents
+    FROM narrative
+),
+inst AS (
+    SELECT doc_id, u.x.i AS idx,
+           {_duck_md5_60("lower(u.x.s)")} AS h,
+           doc_id * 1048576 + u.x.i AS k
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(0, len(sents)),
+                                       i -> {{'i': i, 's': sents[i + 1]}})) AS x
+          FROM sd) u(doc_id, x)
+),
+first_occ AS (SELECT h, min(k) AS k_min FROM inst GROUP BY 1),
+kept AS (
+    SELECT i.doc_id, i.idx
+    FROM inst i JOIN first_occ f ON i.h = f.h AND i.k = f.k_min
+),
+agg AS (SELECT doc_id, list_sort(list(idx)) AS kept_idx FROM kept GROUP BY 1)
+SELECT d.doc_id,
+       CAST(len(d.sents) AS BIGINT) AS n_sentences,
+       CAST(coalesce(len(a.kept_idx), 0) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(
+           list_transform(coalesce(a.kept_idx, []::BIGINT[]),
+                          i -> d.sents[i + 1]), '. '), '') AS pruned_text
+FROM sd d LEFT JOIN agg a USING (doc_id)
+WHERE len(d.sents) > 0
+""".strip()
+
+
+def balanced_sample_sql() -> str:
+    """Oracle for balance-to-minority stratified sampling (mirror of
+    kgx.operators.curation.balanced_sample over the DOMAIN_FIXTURE_EXPR
+    strata: integer-bp rates, md5-60 hash-Bernoulli selection)."""
+    from kgx.operators.curation import DOMAIN_FIXTURE_EXPR
+
+    u = _duck_md5_60("cast(doc_id as varchar)")
+    return f"""
+WITH strata AS (SELECT doc_id, {DOMAIN_FIXTURE_EXPR} AS stratum FROM documents),
+counts AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs
+           FROM strata GROUP BY 1),
+rates AS (
+    SELECT stratum, n_docs,
+           CAST(least(10000, (10000 * (SELECT min(n_docs) FROM counts))
+                             // n_docs) AS BIGINT) AS rate_bp
+    FROM counts
+),
+picked AS (
+    SELECT s.stratum, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM strata s JOIN rates r USING (stratum)
+    WHERE {u} % 10000 < r.rate_bp
+    GROUP BY 1
+)
+SELECT r.stratum, r.n_docs, r.rate_bp,
+       CAST(coalesce(p.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN picked p USING (stratum)
+""".strip()

@@ -94,6 +94,63 @@ def test_sentence_dedup_shuffle_carries_hashes_not_text(spark, sf_dir):
 
 
 @pytest.mark.usefixtures("spark")
+def test_sentence_prune_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "Shared boilerplate line. Unique alpha.",
+                    "shared boilerplate line. Unique beta.",
+                    "Shared Boilerplate Line.",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.sentence_prune(docs).collect()}
+    # doc 1 owns the first occurrence (case-insensitive identity)
+    assert out[1]["n_kept"] == 2
+    assert out[1]["pruned_text"] == "Shared boilerplate line. Unique alpha"
+    assert out[2]["n_kept"] == 1 and out[2]["pruned_text"] == "Unique beta"
+    # every sentence of doc 3 is a dup → fully pruned, still reported
+    assert out[3]["n_kept"] == 0 and out[3]["pruned_text"] == ""
+    assert out[3]["n_sentences"] == 1
+
+
+@pytest.mark.usefixtures("spark")
+def test_sentence_prune_no_sentence_text_in_exchanges(spark, sf_dir):
+    """The exploded per-sentence rows must shed the sentence string before
+    any exchange — only the final doc_id equi-join may move text."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["sentence_prune"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "sentence" not in line, line
+
+
+@pytest.mark.usefixtures("spark")
+def test_balanced_sample_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(400)), "text": ["w"] * 400})
+    )
+    strata = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id < 300 THEN 'big' WHEN doc_id < 380 THEN 'mid'"
+        " ELSE 'small' END AS stratum",
+    )
+    out = {r["stratum"]: r.asDict() for r in curation.balanced_sample(docs, strata).collect()}
+    assert out["small"]["rate_bp"] == 10000  # minority keeps everything
+    assert out["small"]["n_sampled"] == out["small"]["n_docs"] == 20
+    assert out["big"]["rate_bp"] == (10000 * 20) // 300
+    assert out["mid"]["rate_bp"] == (10000 * 20) // 80
+    assert 0 < out["big"]["n_sampled"] <= out["big"]["n_docs"]
+    # hash-Bernoulli selection is reproducible run-to-run
+    again = {r["stratum"]: r.asDict() for r in curation.balanced_sample(docs, strata).collect()}
+    assert again == out
+
+
+@pytest.mark.usefixtures("spark")
 def test_contamination_screen_small(spark):
     docs = spark.createDataFrame(
         pd.DataFrame(
