@@ -308,6 +308,65 @@ def q_contamination(spark, sf_dir):
     return curation.contamination_screen(_documents(spark, sf_dir), n=3)
 
 
+def q_asof_last_click(spark, sf_dir):
+    """Distributed as-of join (union + per-key window, ONE shuffle): for
+    every purchase event, the user's latest click at-or-before it.  The
+    DuckDB oracle uses native ASOF JOIN — an independent implementation,
+    not a transliteration.  Both sides pre-dedup per (user_id, ts) by max
+    event_id so tie semantics are engine-independent."""
+    from pyspark.sql.window import Window
+
+    from kgx.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    one = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ev = (
+        ev.withColumn("__rn", F.row_number().over(one))
+        .where("__rn = 1")
+        .drop("__rn")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        payload=["click_id", "click_ts"],
+        how="inner",
+    )
+
+
+def q_range_clicks_before_purchase(spark, sf_dir):
+    """Binned range join (equi-join on (key, time-bin), exact filter, zero
+    nested loops): every click within 24 h before each purchase.  The
+    DuckDB oracle is the plain inequality join."""
+    from kgx.operators.temporal import range_join_binned
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts2"), F.col("event_id").alias("click_id")
+    )
+    out = range_join_binned(
+        purchases,
+        clicks.withColumnRenamed("click_ts2", "ts"),
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        window_sec=86400,
+        payload=["click_id"],
+    )
+    return out.select("user_id", "purchase_id", "purchase_ts", "click_id")
+
+
 def q_fingerprints_winnowed(spark, sf_dir):
     """MOSS-style winnowed rolling-hash fingerprints (partial-overlap
     detection; zero shuffle until the tiny (doc_id, hash) distinct)."""
@@ -732,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "media_inventory": q_media_inventory,
+        "asof_last_click": q_asof_last_click,
+        "range_clicks_before_purchase": q_range_clicks_before_purchase,
         "w2_latest_event_per_user": q_latest_event_per_user,
         "w3_retention_tail": q_retention_tail,
         "a2_user_type_stats": q_user_type_stats,
@@ -789,6 +850,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oracles.language_id_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "media_inventory": oracles.media_inventory_sql(),
+        "asof_last_click": oracles.asof_last_click_sql(),
+        "range_clicks_before_purchase": oracles.range_clicks_sql(),
         "w2_latest_event_per_user": oracles.latest_event_sql(),
         "w3_retention_tail": oracles.retention_tail_sql(),
         "a2_user_type_stats": oracles.user_type_stats_sql(),

@@ -1430,3 +1430,60 @@ SELECT r.stratum, r.n_docs, r.rate_bp,
        CAST(coalesce(p.n_sampled, 0) AS BIGINT) AS n_sampled
 FROM rates r LEFT JOIN picked p USING (stratum)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (kgx.operators.temporal) — independent DuckDB implementations
+# ---------------------------------------------------------------------------
+
+_EVENTS_DEDUP_CTE = """
+ev AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                               ORDER BY event_id DESC) = 1
+)
+""".strip()
+
+
+def asof_last_click_sql() -> str:
+    """Oracle for the distributed as-of join via DuckDB's NATIVE ASOF JOIN —
+    a genuinely independent implementation of the same semantics (mirror of
+    __spark_entry__.q_asof_last_click: per-(user_id, ts) max-event_id dedup,
+    inner, right ts <= left ts)."""
+    return f"""
+WITH {_EVENTS_DEDUP_CTE},
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM ev WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts AS click_ts, event_id AS click_id
+    FROM ev WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts
+FROM purchases p
+ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+""".strip()
+
+
+def range_clicks_sql() -> str:
+    """Oracle for the binned range join via a plain inequality join (mirror
+    of __spark_entry__.q_range_clicks_before_purchase: clicks in the 24 h
+    window at-or-before each purchase, raw events, no dedup)."""
+    return """
+WITH purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts AS click_ts, event_id AS click_id
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id
+FROM purchases p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND c.click_ts >= p.purchase_ts - INTERVAL 86400 SECOND
+""".strip()

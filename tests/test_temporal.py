@@ -1,0 +1,163 @@
+"""As-of and binned range joins: semantics, edges, and plan shape."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from kgx.operators.temporal import asof_join, range_join_binned
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["A", "A", "A", "B"],
+                "t_ts": [
+                    _ts("2024-01-01 10:00:00"),
+                    _ts("2024-01-01 10:05:00"),
+                    _ts("2024-01-01 09:00:00"),  # before any quote
+                    _ts("2024-01-01 10:00:00"),  # key with no quotes
+                ],
+                "trade_id": [1, 2, 3, 4],
+            }
+        )
+    )
+    quotes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["A", "A", "A"],
+                "q_ts": [
+                    _ts("2024-01-01 09:59:00"),
+                    _ts("2024-01-01 10:00:00"),  # exactly at trade 1's ts
+                    _ts("2024-01-01 10:04:00"),
+                ],
+                "quote_id": [10, 11, 12],
+            }
+        )
+    )
+    return trades, quotes
+
+
+def test_asof_inner_picks_latest_at_or_before(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r["trade_id"]: r["quote_id"]
+        for r in asof_join(
+            trades, quotes, "sym", "t_ts", "q_ts", ["quote_id", "q_ts"]
+        ).collect()
+    }
+    # equal timestamp IS visible (<=); latest preceding otherwise
+    assert out == {1: 11, 2: 12}
+
+
+def test_asof_left_null_fills(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    rows = {
+        r["trade_id"]: r
+        for r in asof_join(
+            trades, quotes, "sym", "t_ts", "q_ts", ["quote_id", "q_ts"], how="left"
+        ).collect()
+    }
+    assert len(rows) == 4
+    assert rows[3]["quote_id"] is None  # trade before any quote
+    assert rows[4]["quote_id"] is None  # key with no right rows
+    assert rows[1]["quote_id"] == 11
+
+
+def test_asof_tie_on_ts_takes_max_payload(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "lts": [_ts("2024-01-01 12:00:00")], "lid": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x", "x"],
+                "rts": [_ts("2024-01-01 11:00:00")] * 2,
+                "rid": [5, 9],
+            }
+        )
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["rid"]).collect()
+    assert out[0]["rid"] == 9  # payload-struct max breaks the tie
+
+
+def test_asof_single_exchange(spark, trades_quotes):
+    """The whole as-of join must cost ONE shuffle (the per-key window)."""
+    trades, quotes = trades_quotes
+    df = asof_join(trades, quotes, "sym", "t_ts", "q_ts", ["quote_id"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # union sides share one
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_binned_window_edges(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "lts": [_ts("2024-01-02 00:00:00")], "lid": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x"] * 4,
+                "ts": [
+                    _ts("2024-01-01 00:00:00"),  # exactly window start (kept)
+                    _ts("2023-12-31 23:59:59"),  # 1 s too old
+                    _ts("2024-01-02 00:00:00"),  # equal to left ts (kept)
+                    _ts("2024-01-02 00:00:01"),  # after left ts
+                ],
+                "rid": [1, 2, 3, 4],
+            }
+        )
+    )
+    out = range_join_binned(left, right, "k", "lts", "ts", 86400, ["rid"])
+    assert sorted(r["rid"] for r in out.collect()) == [1, 3]
+
+
+def test_range_join_no_nested_loop(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "lts": [_ts("2024-01-02 00:00:00")], "lid": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "ts": [_ts("2024-01-01 12:00:00")], "rid": [1]})
+    )
+    df = range_join_binned(left, right, "k", "lts", "ts", 86400, ["rid"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_join_matches_naive_on_random_data(spark):
+    import random
+
+    rng = random.Random(11)
+    base = _ts("2024-01-01 00:00:00")
+    lrows = [
+        ("k%d" % rng.randrange(4), base + dt.timedelta(seconds=rng.randrange(0, 400000)), i)
+        for i in range(60)
+    ]
+    rrows = [
+        ("k%d" % rng.randrange(4), base + dt.timedelta(seconds=rng.randrange(0, 400000)), i)
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(pd.DataFrame(lrows, columns=["k", "lts", "lid"]))
+    right = spark.createDataFrame(pd.DataFrame(rrows, columns=["k", "ts", "rid"]))
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join_binned(left, right, "k", "lts", "ts", 3600, ["rid"]).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for (lk, lts, lid) in lrows
+        for (rk, rts, rid) in rrows
+        if lk == rk and rts <= lts and rts >= lts - dt.timedelta(seconds=3600)
+    )
+    assert got == want
