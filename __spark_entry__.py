@@ -250,6 +250,14 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Tokenizer-prep vocabulary head: global top-200 tokens by count with
+    document frequency (map-side combine then TakeOrderedAndProject)."""
+    from kgx.operators import textstats
+
+    return textstats.vocab_topk(_documents(spark, sf_dir), k=200)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction cascade (email/SSN/phone/IPv4) with per-category counts
     over a planted-PII fixture — the driver corpus is clean word salad, so
@@ -782,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
         "token_counts": q_token_counts,
+        "vocab_topk": q_vocab_topk,
         "pii_scrub": q_pii_scrub,
         "sentence_dedup": q_sentence_dedup,
         "sentence_prune": q_sentence_prune,
@@ -841,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracles.text_stats_sql(),
         "quality_filter": oracles.quality_filter_sql(min_tokens=20),
         "token_counts": oracles.token_counts_sql(),
+        "vocab_topk": oracles.vocab_topk_sql(k=200),
         "pii_scrub": oracles.pii_scrub_sql(),
         "sentence_dedup": oracles.sentence_dedup_sql(),
         "sentence_prune": oracles.sentence_prune_sql(),

@@ -245,3 +245,37 @@ def winnowed_fingerprints(
         winnowed.select("doc_id", F.explode("wins").alias("fingerprint"))
         .distinct()
     )
+
+
+def vocab_topk(documents: DataFrame, k: int = 200) -> DataFrame:
+    """Global vocabulary top-``k`` — the first pass of tokenizer training
+    (BPE seed vocabulary / stop-word discovery): ``(token, n_occurrences,
+    n_docs, rank)`` ordered by count desc with a deterministic token-order
+    tie-break.
+
+    Scale shape: tokens partially aggregate map-side before the single
+    shuffle on token (hot stop-words combine locally, so skew arrives
+    pre-collapsed), and the global top-``k`` is Spark's
+    ``TakeOrderedAndProject`` — each partition ships only its own top-``k``
+    candidates to the driver-side heap, never the full vocabulary.  The
+    rank window runs over ``k`` rows, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        documents.select(F.explode(F.expr(TOKENS_EXPR)).alias("token"), "doc_id")
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.select(
+        "token",
+        "n_occurrences",
+        "n_docs",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -1487,3 +1487,26 @@ FROM purchases p JOIN clicks c
  AND c.click_ts <= p.purchase_ts
  AND c.click_ts >= p.purchase_ts - INTERVAL 86400 SECOND
 """.strip()
+
+
+def vocab_topk_sql(k: int = 200) -> str:
+    """Oracle for the vocabulary top-k (mirror of
+    kgx.operators.textstats.vocab_topk: whitespace tokens, count-desc /
+    token-asc deterministic order)."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(str_split(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM toks GROUP BY 1
+    ORDER BY n_occurrences DESC, token
+    LIMIT {k}
+)
+SELECT token, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank
+FROM counts
+""".strip()

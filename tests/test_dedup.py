@@ -214,3 +214,29 @@ def test_token_counts_bpe_vs_ws(spark):
     for i, r in rows.items():
         assert got.loc[i, "ws_tokens"] == r["ws_tokens"]
         assert got.loc[i, "bpe_tokens"] == r["bpe_tokens"]
+
+
+def test_vocab_topk_order_and_plan(spark):
+    import pandas as pd
+
+    from kgx.operators import textstats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a b a c", "a b b", "zz a"],
+            }
+        )
+    )
+    out = textstats.vocab_topk(df, k=3).collect()
+    assert [(r["token"], r["n_occurrences"], r["n_docs"], r["rank"]) for r in out] == [
+        ("a", 4, 3, 1),
+        ("b", 3, 2, 2),
+        ("c", 1, 1, 3),  # ties (c/zz at 1) break by token order, c wins the cut
+    ]
+    plan = textstats.vocab_topk(df, k=3)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # global top-k must be the per-partition-heap operator, not a full sort
+    assert "TakeOrderedAndProject" in plan, plan
