@@ -350,6 +350,16 @@ def q_asof_last_click(spark, sf_dir):
     )
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization (6 h inactivity gap) via Spark's native
+    session_window aggregate; the oracle re-derives the same sessions with
+    the gaps-and-islands window cascade — an independent formulation."""
+    from kgx.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, key="user_id", ts="ts", gap_sec=21600)
+
+
 def q_range_clicks_before_purchase(spark, sf_dir):
     """Binned range join (equi-join on (key, time-bin), exact filter, zero
     nested loops): every click within 24 h before each purchase.  The
@@ -802,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_inventory": q_media_inventory,
         "asof_last_click": q_asof_last_click,
         "range_clicks_before_purchase": q_range_clicks_before_purchase,
+        "sessions": q_sessions,
         "w2_latest_event_per_user": q_latest_event_per_user,
         "w3_retention_tail": q_retention_tail,
         "a2_user_type_stats": q_user_type_stats,
@@ -862,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "media_inventory": oracles.media_inventory_sql(),
         "asof_last_click": oracles.asof_last_click_sql(),
         "range_clicks_before_purchase": oracles.range_clicks_sql(),
+        "sessions": oracles.sessions_sql(gap_sec=21600),
         "w2_latest_event_per_user": oracles.latest_event_sql(),
         "w3_retention_tail": oracles.retention_tail_sql(),
         "a2_user_type_stats": oracles.user_type_stats_sql(),

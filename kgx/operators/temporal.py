@@ -123,3 +123,42 @@ def range_join_binned(
         )
         .drop("__bin", "__rbin", "__rk", "__rts")
     )
+
+
+def sessionize(
+    events: DataFrame, key: str, ts: str, gap_sec: int
+) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE ``session_window``
+    aggregate — the idiomatic form (merging is order-independent, so no
+    per-key sort is needed; a single shuffle on the key feeds the session
+    merge).  Two events share a session iff their gap is at most
+    ``gap_sec`` (the merge boundary is inclusive — pinned by test); the
+    session's ``session_end`` is ``last ts + gap``.
+
+    Output: ``(key, session_id, session_start, session_end, n_events)``
+    with ``session_id`` numbering a key's sessions by start time from 1.
+    The DuckDB oracle derives identical sessions from the classic
+    gaps-and-islands window cascade — an independent formulation.
+    """
+    from pyspark.sql.window import Window
+
+    grouped = (
+        events.groupBy(
+            F.col(key), F.session_window(F.col(ts), f"{gap_sec} seconds")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    w = Window.partitionBy(key).orderBy("session_start")
+    return grouped.select(
+        key,
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )

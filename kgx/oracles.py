@@ -1510,3 +1510,44 @@ SELECT token, n_occurrences, n_docs,
        CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank
 FROM counts
 """.strip()
+
+
+def sessions_sql(gap_sec: int = 1800) -> str:
+    """Oracle for gap-based sessionization via the classic gaps-and-islands
+    cascade (independent of Spark's native session_window merge): new
+    session when the gap from the previous event is STRICTLY greater than
+    gap_sec (Spark's merge boundary is inclusive — pinned by
+    test_sessionize_gap_boundary_semantics); session_end = last ts + gap."""
+    gap_us = gap_sec * 1_000_000
+    return f"""
+WITH e AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+f AS (
+    SELECT user_id, ts,
+           CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > {gap_us}
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+),
+s AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+    FROM f
+),
+g AS (
+    SELECT user_id, grp,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {gap_sec} SECOND AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY session_start)
+            AS BIGINT) AS session_id,
+       session_start, session_end, n_events
+FROM g
+""".strip()

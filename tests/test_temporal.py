@@ -161,3 +161,55 @@ def test_range_join_matches_naive_on_random_data(spark):
         if lk == rk and rts <= lts and rts >= lts - dt.timedelta(seconds=3600)
     )
     assert got == want
+
+
+def test_sessionize_gap_boundary_semantics(spark):
+    """An event exactly gap seconds after the previous one still MERGES
+    (Spark's session_window boundary is inclusive); only a strictly larger
+    gap starts a new session — pinned here because the gaps-and-islands
+    oracle must mirror it with `> gap`, not `>= gap`."""
+    from kgx.operators.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1] * 4,
+                "ts": [
+                    _ts("2024-01-01 10:00:00"),
+                    _ts("2024-01-01 10:30:00"),  # exactly gap after: merges
+                    _ts("2024-01-01 11:00:01"),  # gap + 1 s: new session
+                    _ts("2024-01-01 11:10:00"),  # < gap after prev: same
+                ],
+                "event_id": [1, 2, 3, 4],
+            }
+        )
+    )
+    out = sessionize(ev, "user_id", "ts", 1800).orderBy("session_id").collect()
+    assert [(r["session_id"], r["n_events"]) for r in out] == [(1, 2), (2, 2)]
+    assert out[0]["session_start"] == _ts("2024-01-01 10:00:00")
+    # session_end = last ts + gap
+    assert out[0]["session_end"] == _ts("2024-01-01 11:00:00")
+    assert out[1]["session_end"] == _ts("2024-01-01 11:40:00")
+
+
+def test_sessionize_multi_user_numbering(spark):
+    from kgx.operators.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": [
+                    _ts("2024-01-01 10:00:00"),
+                    _ts("2024-01-02 10:00:00"),
+                    _ts("2024-01-01 10:00:00"),
+                ],
+                "event_id": [1, 2, 3],
+            }
+        )
+    )
+    out = sessionize(ev, "user_id", "ts", 3600).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["session_id"])
+    assert sorted(per_user[1]) == [1, 2] and per_user[2] == [1]
