@@ -9,7 +9,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KEEP = (
     "Scan parquet", "ReadSchema", "PushedFilters", "Join", "InPandas",
-    "Exchange", "HashAggregate", "Window", "Generate",
+    "Exchange", "HashAggregate", "Window", "Generate", "TakeOrdered",
 )
 
 SECTIONS = [
@@ -50,6 +50,31 @@ SECTIONS = [
      "Corpus keep-one dedup: LSH-bucketed pair graph (skew-capped band "
      "join), connected components over pairs only, then a doc_id equi-join "
      "back to the corpus — no CartesianProduct at any stage."),
+    ("pii_scrub",
+     "PII redaction cascade + audit counts in one codegen projection — "
+     "zero exchanges; the pass can front the raw corpus scan."),
+    ("sentence_prune",
+     "CCNet removal pass: exploded sentences shed their text before any "
+     "exchange (hash/key bigints only); text moves once, in the final "
+     "doc_id equi-join that rebuilds pruned documents."),
+    ("contamination",
+     "Decontamination screen: benchmark n-gram hash set broadcast "
+     "(bounded by eval-suite size); the train side never shuffles before "
+     "the join."),
+    ("asof_last_click",
+     "Distributed as-of join: union both sides, ONE per-key window "
+     "exchange — no range explosion, no nested loop."),
+    ("range_clicks_before_purchase",
+     "Binned range join: equi-join on (key, time-bin) with a 2-bin "
+     "explode, exact filter after — a shuffled hash join, never a "
+     "BroadcastNestedLoopJoin."),
+    ("sessions",
+     "Native session_window aggregate: one shuffle on user_id feeds the "
+     "session merge; the numbering window reuses the same partitioning."),
+    ("vocab_topk",
+     "Vocabulary head: partial HashAggregate collapses hot tokens "
+     "map-side; the global head is TakeOrderedAndProject (per-partition "
+     "heaps), not a full sort."),
 ]
 
 
