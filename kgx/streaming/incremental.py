@@ -108,3 +108,34 @@ def windowed_ingest_metrics(
             "media_spans",
         )
     )
+
+
+def sessionized_stream(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`kgx.operators.temporal.sessionize` — the
+    same native ``session_window`` aggregate with an event-time watermark.
+
+    In append mode a session emits exactly once, when the watermark passes
+    its end (last event + gap); state per executor is O(open sessions) —
+    the watermark closes and evicts idle sessions, so a long-running crawl
+    never accumulates state.  Output matches the batch operator's
+    ``(key, session_start, session_end, n_events)`` (the global per-key
+    ``session_id`` numbering is batch-only: a stream cannot renumber
+    history).
+    """
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

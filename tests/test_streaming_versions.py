@@ -136,3 +136,68 @@ def test_versioned_views(spark):
     assert stale == {("d1", "a")}
     stamped = versions.stamp_run(df.drop("run_id", "run_seq"), "r9", 9)
     assert stamped.select("run_id").distinct().collect()[0][0] == "r9"
+
+
+def test_streaming_sessions_match_batch(spark):
+    """Closed sessions from the watermarked streaming session_window equal
+    the batch sessionize() rows for the same events (append mode emits each
+    session exactly once; the still-open tail session is not emitted)."""
+    from kgx.operators.temporal import sessionize
+    from kgx.streaming import incremental
+
+    def drop(ts_rows, in_dir):
+        df = spark.createDataFrame(
+            [(uid, ts, i) for i, (uid, ts) in enumerate(ts_rows)],
+            "user_id bigint, ts string, event_id bigint",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_catchup(in_dir, out_dir):
+        stream = spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint"
+        ).parquet(in_dir)
+        q = (
+            incremental.sessionized_stream(
+                stream, gap="30 minutes", watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", os.path.join(out_dir, "sessions"))
+            .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    in_dir = tempfile.mkdtemp(prefix="kgx_sess_in_")
+    out_dir = tempfile.mkdtemp(prefix="kgx_sess_out_")
+    try:
+        closed = [
+            (1, "2026-01-01 10:00:00"),
+            (1, "2026-01-01 10:10:00"),  # same session as 10:00
+            (1, "2026-01-01 12:00:00"),  # new session
+            (2, "2026-01-01 10:05:00"),
+        ]
+        drop(closed, in_dir)
+        run_catchup(in_dir, out_dir)
+        # advances the watermark to 19:00 → every session above closes;
+        # this event's own session stays open and must NOT be emitted
+        drop([(1, "2026-01-01 20:00:00")], in_dir)
+        run_catchup(in_dir, out_dir)
+
+        got = {
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.read.parquet(os.path.join(out_dir, "sessions")).collect()
+        }
+        batch = spark.createDataFrame(
+            [(uid, ts, i) for i, (uid, ts) in enumerate(closed)],
+            "user_id bigint, ts string, event_id bigint",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        want = {
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in sessionize(batch, "user_id", "ts", 1800).collect()
+        }
+        assert got == want and len(got) == 3, (got, want)
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
