@@ -774,6 +774,48 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_a8_event_value_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (median/p90 via Spark's exact `percentile`,
+    matching DuckDB's quantile_cont linear interpolation bit-for-bit on the
+    same doubles), quantized to micro-units for the value hash.  Partial
+    aggregation does NOT apply to exact percentiles — the group's values
+    must co-locate — which is why the group key (event_type, 5 values) must
+    be low-cardinality relative to the corpus; for high-cardinality keys
+    use approx_percentile instead (not oracle-comparable)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("cast(round(min(value) * 1000000) as bigint)").alias("min_u"),
+        F.expr("cast(round(max(value) * 1000000) as bigint)").alias("max_u"),
+        F.expr("cast(round(percentile(value, 0.5) * 1000000) as bigint)").alias("p50_u"),
+        F.expr("cast(round(percentile(value, 0.9) * 1000000) as bigint)").alias("p90_u"),
+    )
+
+
+def q_a9_rollup_order_stats(spark, sf_dir):
+    """Multi-dimensional rollup (status × priority → status → grand total)
+    in one pass — Spark's Expand feeds a single partially-aggregated
+    shuffle; integer cents keep the sums engine-exact.  NULL grouping
+    columns are the rollup subtotal markers, coalesced to '∅' so the
+    cross-engine hash compare is unambiguous."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr(
+                "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
+            ).alias("price_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("∅")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("∅")).alias("priority"),
+            "n_orders",
+            "price_cents",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -820,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jn6_customers_with_orders": q_customers_with_orders,
         "a3_latest_order_per_customer": q_latest_order_per_customer,
         "a1_pricing_summary": q_pricing_summary,
+        "a8_event_value_quantiles": q_a8_event_value_quantiles,
+        "a9_rollup_order_stats": q_a9_rollup_order_stats,
         "jn2_graph_fetch": q_jn2_graph_fetch,
         "a7_bucket_metrics": q_a7_bucket_metrics,
         "fn_scalar_suite": q_fn_scalar_suite,
@@ -881,6 +925,8 @@ def oracle_sql() -> dict[str, str]:
         "jn6_customers_with_orders": oracles.customers_with_orders_sql(),
         "a3_latest_order_per_customer": oracles.latest_order_sql(),
         "a1_pricing_summary": oracles.pricing_summary_sql(),
+        "a8_event_value_quantiles": oracles.event_value_quantiles_sql(),
+        "a9_rollup_order_stats": oracles.rollup_order_stats_sql(),
         "jn2_graph_fetch": oracles.graph_fetch_sql(),
         "a7_bucket_metrics": oracles.bucket_metrics_sql(),
         "fn_scalar_suite": oracles.scalar_suite_sql(),

@@ -1551,3 +1551,33 @@ SELECT user_id,
        session_start, session_end, n_events
 FROM g
 """.strip()
+
+
+def event_value_quantiles_sql() -> str:
+    """Oracle for exact per-group quantiles (mirror of
+    __spark_entry__.q_a8_event_value_quantiles: DuckDB quantile_cont uses
+    the same linear interpolation as Spark's exact percentile)."""
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(min(value) * 1000000) AS BIGINT) AS min_u,
+       CAST(round(max(value) * 1000000) AS BIGINT) AS max_u,
+       CAST(round(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_u,
+       CAST(round(quantile_cont(value, 0.9) * 1000000) AS BIGINT) AS p90_u
+FROM events
+GROUP BY event_type
+""".strip()
+
+
+def rollup_order_stats_sql() -> str:
+    """Oracle for the status × priority rollup (mirror of
+    __spark_entry__.q_a9_rollup_order_stats; NULL rollup markers coalesced
+    to the same sentinel)."""
+    return """
+SELECT coalesce(o_orderstatus, '∅') AS status,
+       coalesce(o_orderpriority, '∅') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""".strip()
