@@ -182,3 +182,27 @@ def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
     plan = _plan(em.queries()["contamination"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.usefixtures("spark")
+def test_sentence_prune_global_invariant(spark, sf_dir):
+    """Corpus-wide conservation law: the kept-sentence count equals the
+    number of DISTINCT normalized sentences — exactly one survivor each."""
+    from kgx.sources import corpus
+
+    docs = corpus.narrative_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    pruned = curation.sentence_prune(docs)
+    kept = pruned.selectExpr("sum(n_kept)").collect()[0][0]
+    from pyspark.sql import functions as F
+
+    distinct = (
+        docs.select(
+            F.explode(F.expr(curation._SENT_EXPR)).alias("s")
+        )
+        .select(F.lower("s").alias("s"))
+        .distinct()
+        .count()
+    )
+    assert kept == distinct

@@ -213,3 +213,69 @@ def test_sessionize_multi_user_numbering(spark):
     for r in out:
         per_user.setdefault(r["user_id"], []).append(r["session_id"])
     assert sorted(per_user[1]) == [1, 2] and per_user[2] == [1]
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    import random
+
+    rng = random.Random(23)
+    base = _ts("2024-01-01 00:00:00")
+    lrows = [
+        ("k%d" % rng.randrange(3), base + dt.timedelta(seconds=rng.randrange(0, 100000)), i)
+        for i in range(50)
+    ]
+    # distinct right timestamps per key so the naive argmax is unambiguous
+    rrows = [
+        ("k%d" % (i % 3), base + dt.timedelta(seconds=7 * i + (i % 3)), i)
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(pd.DataFrame(lrows, columns=["k", "lts", "lid"]))
+    right = spark.createDataFrame(pd.DataFrame(rrows, columns=["k", "ts", "rid"]))
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, "k", "lts", "ts", ["rid", "ts"]).collect()
+    }
+    want = {}
+    for lk, lts, lid in lrows:
+        cand = [(rts, rid) for (rk, rts, rid) in rrows if rk == lk and rts <= lts]
+        if cand:
+            want[lid] = max(cand)[1]
+    assert got == want
+
+
+def test_sessionize_matches_naive_on_random_data(spark):
+    import random
+
+    from kgx.operators.temporal import sessionize
+
+    rng = random.Random(31)
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(0, 200000)), i)
+        for i in range(150)
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts", "event_id"]))
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(ev, "user_id", "ts", 1800).collect()
+    }
+    # naive: sort each user's events, split where gap > 1800 s (inclusive merge)
+    want = set()
+    per_user = {}
+    for uid, ts, _ in rows:
+        per_user.setdefault(uid, []).append(ts)
+    for uid, tss in per_user.items():
+        tss.sort()
+        sessions, cur = [], [tss[0]]
+        for t in tss[1:]:
+            if (t - cur[-1]).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append(cur)
+        for s in sessions:
+            want.add(
+                (uid, str(s[0]), str(s[-1] + dt.timedelta(seconds=1800)), len(s))
+            )
+    assert got == want
