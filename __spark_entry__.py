@@ -294,6 +294,25 @@ def q_sentence_prune(spark, sf_dir):
     )
 
 
+def q_curation_funnel(spark, sf_dir):
+    """END-TO-END curation funnel over the narrative corpus (SURVEY training-
+    data family, composed): quality gate (prose-adjusted symbol cap) → exact
+    dedup → MinHash-LSH near-dup connected-components keep-one → PII scrub →
+    keep-first sentence prune.  One lazy DataFrame — the plan the 100 TB
+    curation job runs, minus the per-stage counts; every exchange before the
+    final text rejoin carries bigint keys only."""
+    from kgx.plans.curation_pipeline import CurationConfig, funnel_final
+    from kgx.sources import corpus
+
+    cfg = CurationConfig(
+        out_dir="", write=False, min_tokens=20,
+        quality_kwargs={"max_symbol_ratio": 0.2},
+    )
+    return funnel_final(
+        corpus.narrative_documents(_documents(spark, sf_dir)), cfg
+    )
+
+
 def q_balanced_sample(spark, sf_dir):
     """Balance-to-minority stratified sampling over the domain fixture
     strata (deterministic hash-Bernoulli; integer-bp rates)."""
@@ -846,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "sentence_dedup": q_sentence_dedup,
         "sentence_prune": q_sentence_prune,
+        "curation_funnel": q_curation_funnel,
         "balanced_sample": q_balanced_sample,
         "contamination": q_contamination,
         "fingerprints_winnowed": q_fingerprints_winnowed,
@@ -909,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.pii_scrub_sql(),
         "sentence_dedup": oracles.sentence_dedup_sql(),
         "sentence_prune": oracles.sentence_prune_sql(),
+        "curation_funnel": oracles.curation_funnel_sql(),
         "balanced_sample": oracles.balanced_sample_sql(),
         "contamination": oracles.contamination_sql(bench_mod=19, n=3),
         "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),

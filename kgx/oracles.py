@@ -340,7 +340,7 @@ def dedup_clusters_sql(
     return f"""
 WITH RECURSIVE {head.rstrip().rstrip(',')},
 pairs AS (SELECT doc_a, doc_b, jaccard {tail.strip()}),
-edges AS (
+edges AS MATERIALIZED (
     SELECT doc_a AS u, doc_b AS v FROM pairs
     UNION
     SELECT doc_b AS u, doc_a AS v FROM pairs
@@ -689,6 +689,7 @@ def quality_filter_sql(
     max_symbol_ratio: float = 0.1,
     min_unique_ratio: float = 0.3,
     min_stop_hits: int = 2,
+    src: str = "documents",
 ) -> str:
     """Oracle for the Gopher/C4 composite quality gate — same rule order
     (QUALITY_RULES), same rational arithmetic, CASE-composed reasons."""
@@ -716,7 +717,7 @@ WITH t AS (
            CAST(len(list_distinct({toks})) AS BIGINT) AS uniq,
            CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS punct,
            CAST(len(list_filter({toks}, t -> t IN ({in_list}))) AS BIGINT) AS stop_hits
-    FROM documents
+    FROM {src}
 ),
 t2 AS (SELECT * FROM t WHERE n_tokens > 0),
 r AS (
@@ -1580,4 +1581,78 @@ SELECT coalesce(o_orderstatus, '∅') AS status,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""".strip()
+
+
+def curation_funnel_sql(
+    min_tokens: int = 20,
+    max_symbol_ratio: float = 0.2,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket: int = 200,
+) -> str:
+    """Oracle for the END-TO-END curation funnel over the narrative corpus
+    (mirror of kgx.plans.curation_pipeline.funnel_final): quality gate →
+    exact dedup keep-min-doc_id → MinHash-LSH near-dup connected-components
+    keep-one → PII scrub chain → keep-first sentence prune.  Each stage CTE
+    reuses the already-oracle-green per-stage SQL shape; the recursive
+    reachability CTE replays the engine's union-find/star components."""
+    from kgx.operators.curation import PII_PATTERNS
+
+    quality = quality_filter_sql(
+        min_tokens=min_tokens, max_symbol_ratio=max_symbol_ratio, src="narrative"
+    )
+    mh = _minhash_pairs_ctes("e", "doc_id", _duck_shingles(3), num_hashes, bands, max_bucket)
+    clean = "text"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH RECURSIVE {NARRATIVE_CTE},
+qpass AS (SELECT doc_id FROM ({quality}) WHERE passes),
+q AS (SELECT n.doc_id, n.text FROM narrative n JOIN qpass USING (doc_id)),
+eh AS (SELECT doc_id, {_duck_md5_60('text')} AS text_hash FROM q),
+ekeep AS (SELECT min(doc_id) AS doc_id FROM eh GROUP BY text_hash),
+e AS MATERIALIZED (SELECT q.* FROM q JOIN ekeep USING (doc_id)),
+{mh},
+ndpairs AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {threshold}),
+edges AS MATERIALIZED (
+    SELECT doc_a AS u, doc_b AS v FROM ndpairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM ndpairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM e
+    UNION
+    SELECT g.v, r.lab FROM reach r JOIN edges g ON g.u = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS canon FROM reach GROUP BY node),
+nd AS (SELECT e.doc_id, e.text FROM e JOIN comp USING (doc_id) WHERE doc_id = canon),
+pii AS (SELECT doc_id, {clean} AS text FROM nd),
+sp_sd AS (
+    SELECT doc_id,
+           list_filter(list_transform(str_split(text, '.'), s -> trim(s)),
+                       s -> s <> '') AS sents
+    FROM pii
+),
+sp_inst AS (
+    SELECT doc_id, u.x.i AS idx,
+           {_duck_md5_60("lower(u.x.s)")} AS h,
+           doc_id * 1048576 + u.x.i AS k
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(0, len(sents)),
+                                       i -> {{'i': i, 's': sents[i + 1]}})) AS x
+          FROM sp_sd) u(doc_id, x)
+),
+sp_first AS (SELECT h, min(k) AS k_min FROM sp_inst GROUP BY 1),
+sp_kept AS (
+    SELECT i.doc_id, i.idx
+    FROM sp_inst i JOIN sp_first f ON i.h = f.h AND i.k = f.k_min
+),
+sp_agg AS (SELECT doc_id, list_sort(list(idx)) AS kept_idx FROM sp_kept GROUP BY 1)
+SELECT d.doc_id,
+       array_to_string(list_transform(a.kept_idx, i -> d.sents[i + 1]),
+                       '. ') AS text
+FROM sp_sd d JOIN sp_agg a USING (doc_id)
+WHERE len(a.kept_idx) > 0
 """.strip()
