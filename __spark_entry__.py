@@ -294,6 +294,25 @@ def q_sentence_prune(spark, sf_dir):
     )
 
 
+def q_graph_degrees(spark, sf_dir):
+    """KG degree statistics over the distinct global label edge list (graph
+    analytics on the materialized triples; two hash aggregates + one label
+    equi-join, bigint-only exchanges past the edge list)."""
+    from kgx.operators import extract, graphstats
+
+    return graphstats.degree_stats(extract.triples_table(_graphs(spark, sf_dir)))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Deterministic integer-arithmetic PageRank (5 rounds, damping 0.85 in
+    basis points) over the KG edge list — the iterative-algorithm pattern:
+    a fixed per-iteration join+aggregate plan over (label, rank) bigints,
+    bit-identical to the unrolled-CTE DuckDB oracle."""
+    from kgx.operators import extract, graphstats
+
+    return graphstats.pagerank(extract.triples_table(_graphs(spark, sf_dir)))
+
+
 def q_curation_funnel(spark, sf_dir):
     """END-TO-END curation funnel over the narrative corpus (SURVEY training-
     data family, composed): quality gate (prose-adjusted symbol cap) → exact
@@ -866,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         "sentence_prune": q_sentence_prune,
         "curation_funnel": q_curation_funnel,
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank": q_graph_pagerank,
         "balanced_sample": q_balanced_sample,
         "contamination": q_contamination,
         "fingerprints_winnowed": q_fingerprints_winnowed,
@@ -930,6 +951,8 @@ def oracle_sql() -> dict[str, str]:
         "sentence_dedup": oracles.sentence_dedup_sql(),
         "sentence_prune": oracles.sentence_prune_sql(),
         "curation_funnel": oracles.curation_funnel_sql(),
+        "graph_degrees": oracles.graph_degrees_sql(),
+        "graph_pagerank": oracles.graph_pagerank_sql(),
         "balanced_sample": oracles.balanced_sample_sql(),
         "contamination": oracles.contamination_sql(bench_mod=19, n=3),
         "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),

@@ -47,6 +47,7 @@ def main() -> None:
         "emb_near_dup_pairs",
         "ann_topk",
         "text_stats",
+        "curation_funnel",
         "a1_pricing_summary",
     ]
     qs = entrymod.queries()

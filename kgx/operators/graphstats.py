@@ -1,0 +1,111 @@
+"""Graph analytics over the extracted knowledge graph: degree statistics
+and a deterministic PageRank.
+
+The reference materializes nodes/edges and serves them back per document
+(reference database_service.py get_graph); it has no whole-graph analytics.
+These operators are the queries a downstream consumer runs on the
+materialized KG tables — and the PageRank is the repo's iterative-algorithm
+pattern: a driver-side loop of joins whose per-iteration plan is fixed and
+whose lineage can be truncated per round at scale.
+
+Determinism contract: PageRank here is INTEGER-arithmetic — ranks are
+bigints, contributions are floor divisions, damping is applied in basis
+points — so Spark and the DuckDB oracle produce bit-identical ranks (no
+float summation-order drift, which 10 chained iterations would amplify).
+Dangling-node mass (nodes with no out-edges) is dropped, not redistributed;
+that variant needs a global aggregate per iteration and is documented out.
+
+Overflow bound: rank(u) <= n_nodes * scale after any iteration, so
+``damping_bp * n_nodes * scale`` must stay below 2^63; the default
+``scale=10**9`` is safe up to ~10^9 distinct labels per graph slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edge_list(triples: DataFrame) -> DataFrame:
+    """Distinct global (subj, obj) label edges from doc-level triples.
+    Self-loops were already excluded at extraction (SURVEY P5)."""
+    return triples.select("subj", "obj").distinct()
+
+
+def degree_stats(triples: DataFrame) -> DataFrame:
+    """(label, out_degree, in_degree, degree) over the distinct edge list.
+
+    Two hash aggregates and one full outer join on the label key — no text
+    beyond labels crosses an exchange, and AQE picks a broadcast side when
+    one degree table is small.
+    """
+    e = edge_list(triples)
+    out_d = e.groupBy(F.col("subj").alias("label")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = e.groupBy(F.col("obj").alias("label")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return out_d.join(in_d, "label", "full_outer").select(
+        "label",
+        F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0)))
+        .cast("long")
+        .alias("degree"),
+    )
+
+
+def pagerank(
+    triples: DataFrame,
+    iters: int = 5,
+    scale: int = 10**9,
+    damping_bp: int = 8500,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Integer-arithmetic PageRank over the distinct label edge list.
+
+    rank_0(u) = scale;
+    rank_{t+1}(u) = base + (damping_bp * S_t(u)) div 10000, where
+    S_t(u) = sum over in-edges (v, u) of (rank_t(v) div outdeg(v)) and
+    base = ((10000 - damping_bp) * scale) div 10000.
+
+    Each iteration is one equi-join of the edge list with the current rank
+    table plus one aggregate — the rank table carries only (label, rank)
+    bigints, so at 10^12-doc scale the per-iteration shuffle is the edge
+    list key-joined against a table orders of magnitude smaller than the
+    corpus.  ``checkpoint_every`` truncates lineage every k rounds via
+    ``localCheckpoint`` (eager) — set it for deep iteration counts in jobs;
+    leave None in lazy gate queries (5 rounds of joins plan fine).
+    """
+    e = edge_list(triples)
+    nodes = (
+        e.select(F.col("subj").alias("label"))
+        .union(e.select(F.col("obj").alias("label")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("subj").alias("label")).agg(
+        F.count("*").cast("long").alias("od")
+    )
+    base = ((10000 - damping_bp) * scale) // 10000
+    ranks = nodes.select("label", F.lit(scale).cast("long").alias("rank"))
+    for i in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("label", "subj"), "subj")
+            .join(outdeg.withColumnRenamed("label", "subj"), "subj")
+            .select(F.col("obj").alias("label"), F.expr("rank div od").alias("c"))
+            .groupBy("label")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "label", "left").select(
+            "label",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_bp} * coalesce(s, 0L)) div 10000")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

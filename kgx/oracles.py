@@ -1656,3 +1656,73 @@ SELECT d.doc_id,
 FROM sp_sd d JOIN sp_agg a USING (doc_id)
 WHERE len(a.kept_idx) > 0
 """.strip()
+
+
+def _graph_edges_ctes() -> str:
+    """CTE chunk ``… gr_edges(subj, obj)``: the distinct global label edge
+    list from the resolved triples (mirror of
+    kgx.operators.graphstats.edge_list)."""
+    return f"""
+{_BASE},
+{_NODES_CTES},
+{_triples_ctes()},
+gr_edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM resolved)
+""".strip()
+
+
+def graph_degrees_sql() -> str:
+    """Oracle for KG degree statistics (mirror of
+    kgx.operators.graphstats.degree_stats: distinct edges, full outer join
+    of out/in counts)."""
+    return f"""
+{_graph_edges_ctes()},
+outd AS (SELECT subj AS label, CAST(count(*) AS BIGINT) AS out_degree
+         FROM gr_edges GROUP BY 1),
+ind AS (SELECT obj AS label, CAST(count(*) AS BIGINT) AS in_degree
+        FROM gr_edges GROUP BY 1)
+SELECT coalesce(outd.label, ind.label) AS label,
+       CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(coalesce(out_degree, 0) + coalesce(in_degree, 0) AS BIGINT) AS degree
+FROM outd FULL OUTER JOIN ind ON outd.label = ind.label
+""".strip()
+
+
+def graph_pagerank_sql(
+    iters: int = 5, scale: int = 10**9, damping_bp: int = 8500
+) -> str:
+    """Oracle for integer-arithmetic PageRank (mirror of
+    kgx.operators.graphstats.pagerank).  The iteration is UNROLLED into
+    chained CTEs pr0..pr{iters} — generated SQL, no recursive aggregation
+    (which standard SQL forbids in a recursive term).  All arithmetic is
+    bigint floor division, so ranks match Spark bit-for-bit."""
+    base = ((10000 - damping_bp) * scale) // 10000
+    ctes = [
+        f"gr_nodes AS MATERIALIZED (SELECT subj AS label FROM gr_edges "
+        f"UNION SELECT obj FROM gr_edges)",
+        f"gr_outdeg AS MATERIALIZED (SELECT subj AS label, "
+        f"CAST(count(*) AS BIGINT) AS od FROM gr_edges GROUP BY 1)",
+        f"pr0 AS (SELECT label, CAST({scale} AS BIGINT) AS rank FROM gr_nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+c{i} AS (
+    SELECT e.obj AS label, sum(p.rank // o.od) AS s
+    FROM gr_edges e
+    JOIN pr{i} p ON p.label = e.subj
+    JOIN gr_outdeg o ON o.label = e.subj
+    GROUP BY 1
+),
+pr{i + 1} AS (
+    SELECT n.label,
+           CAST({base} + (({damping_bp} * coalesce(c.s, 0)) // 10000) AS BIGINT)
+               AS rank
+    FROM gr_nodes n LEFT JOIN c{i} c USING (label)
+)
+""".strip())
+    joined = ",\n".join(ctes)
+    return f"""
+{_graph_edges_ctes()},
+{joined}
+SELECT label, rank FROM pr{iters}
+""".strip()

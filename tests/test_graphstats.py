@@ -1,0 +1,100 @@
+"""Graph analytics: degree bookkeeping invariants and integer PageRank vs
+an independent pure-Python reference on randomized graphs."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgx.operators import graphstats
+
+SCALE = 10**9
+DAMP = 8500
+
+
+def _py_pagerank(edges, iters=5, scale=SCALE, damping_bp=DAMP):
+    """Driver-side reference: same integer recurrence, plain dicts."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = ((10000 - damping_bp) * scale) // 10000
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // outdeg[u]
+        rank = {n: base + (damping_bp * s[n]) // 10000 for n in nodes}
+    return rank
+
+
+def _triples_df(spark, edges):
+    return spark.createDataFrame(
+        [(f"d{i}", u, "rel", v) for i, (u, v) in enumerate(edges)],
+        "doc_id string, subj string, pred string, obj string",
+    )
+
+
+def test_degree_invariants(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")]  # dup edge
+    deg = graphstats.degree_stats(_triples_df(spark, edges)).collect()
+    by = {r.label: r for r in deg}
+    n_distinct = len(set(edges))
+    assert sum(r.out_degree for r in deg) == n_distinct
+    assert sum(r.in_degree for r in deg) == n_distinct
+    assert all(r.degree == r.out_degree + r.in_degree for r in deg)
+    assert by["a"].out_degree == 2 and by["a"].in_degree == 1
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_pagerank_matches_reference_on_random_graph(spark, seed):
+    rng = random.Random(seed)
+    labels = [f"n{i}" for i in range(30)]
+    edges = list(
+        {
+            (rng.choice(labels), rng.choice(labels))
+            for _ in range(120)
+        }
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    got = {
+        r.label: r.rank
+        for r in graphstats.pagerank(_triples_df(spark, edges)).collect()
+    }
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star graph: everything points at 'hub'
+    edges = [(f"leaf{i}", "hub") for i in range(10)]
+    ranks = {
+        r.label: r.rank
+        for r in graphstats.pagerank(_triples_df(spark, edges)).collect()
+    }
+    assert max(ranks, key=ranks.get) == "hub"
+    leaf_ranks = {v for k, v in ranks.items() if k != "hub"}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_checkpoint_equivalence(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    t = _triples_df(spark, edges)
+    plain = {r.label: r.rank for r in graphstats.pagerank(t, iters=6).collect()}
+    ck = {
+        r.label: r.rank
+        for r in graphstats.pagerank(t, iters=6, checkpoint_every=2).collect()
+    }
+    assert plain == ck
+
+
+def test_pagerank_plan_has_no_cartesian(spark):
+    # the iterative plan stays equi-join shaped: no CartesianProduct or
+    # BroadcastNestedLoop anywhere in 5 unrolled rounds
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = graphstats.pagerank(_triples_df(spark, edges))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
