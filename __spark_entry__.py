@@ -48,6 +48,12 @@ def clear_graph_cache() -> None:
         except Exception:
             pass  # session already stopped
     _GRAPH_CACHE.clear()
+    try:
+        from kgx.plans.curation_pipeline import clear_funnel_cache
+
+        clear_funnel_cache()
+    except Exception:
+        pass  # session already stopped
 
 
 def _graphs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,15 +97,47 @@ def _stage_prune(docs_txt: DataFrame) -> DataFrame:
     )
 
 
-def funnel_final(documents: DataFrame, cfg: CurationConfig) -> DataFrame:
-    """The curated corpus as ONE lazy DataFrame (doc_id, text): quality gate
-    → exact dedup → near-dup keep-one → PII scrub → sentence prune, no
-    materialization.  This is the gate-query view of :func:`run` — the
-    DuckDB oracle (kgx.oracles.curation_funnel_sql) replays the identical
-    five-stage composition as CTEs."""
-    docs = _stage_near_dup(_stage_exact(_stage_quality(documents, cfg)), cfg)
+#: survivor tables persisted by funnel_final — bounded ((doc_id, text),
+#: never wider than the corpus); clear with clear_funnel_cache()
+_FUNNEL_CACHE: list[DataFrame] = []
+
+
+def clear_funnel_cache() -> None:
+    while _FUNNEL_CACHE:
+        _FUNNEL_CACHE.pop().unpersist()
+
+
+def funnel_final(
+    documents: DataFrame, cfg: CurationConfig, persist: bool = True
+) -> DataFrame:
+    """The curated corpus as ONE DataFrame (doc_id, text): quality gate →
+    exact dedup → near-dup keep-one → PII scrub → sentence prune.  This is
+    the gate-query view of :func:`run` — the DuckDB oracle
+    (kgx.oracles.curation_funnel_sql) replays the identical five-stage
+    composition as CTEs.
+
+    ``persist`` (default on) caches the two survivor-set boundaries that
+    the downstream plan references many times — near-dup clustering reads
+    its input ~6× (shingles, sizes, signature verify, corpus map-back) and
+    sentence prune reads its input 3× (instances, keep-key join, text
+    rejoin), so a fully lazy composition re-evaluates the quality+dedup
+    chain multiplicatively (measured: minutes instead of seconds at sf0.1).
+    Cached tables are (doc_id, text) only; call :func:`clear_funnel_cache`
+    when done (mirrors __spark_entry__'s bounded extraction cache)."""
+    from pyspark import StorageLevel
+
+    def _mark(df: DataFrame) -> DataFrame:
+        if persist:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            _FUNNEL_CACHE.append(df)
+        return df
+
+    exact = _mark(_stage_exact(_stage_quality(documents, cfg)))
+    docs = _mark(_stage_near_dup(exact, cfg))
     docs_txt = _stage_pii(docs).select("doc_id", "text") if cfg.scrub_pii else docs
-    return _stage_prune(docs_txt) if cfg.prune_sentences else docs_txt
+    if not cfg.prune_sentences:
+        return docs_txt
+    return _stage_prune(_mark(docs_txt) if cfg.scrub_pii else docs_txt)
 
 
 def run(spark: SparkSession, documents: DataFrame, cfg: CurationConfig) -> dict:
@@ -116,12 +148,13 @@ def run(spark: SparkSession, documents: DataFrame, cfg: CurationConfig) -> dict:
     docs = _stage_quality(documents, cfg)
     funnel["after_quality"] = docs.count()
 
-    # 2. exact dedup keep-one
-    docs = _stage_exact(docs)
-    funnel["after_exact_dedup"] = docs.count()
+    # 2. exact dedup keep-one (persisted: the near-dup stage reads its
+    # input ~6x — shingles, sizes, verify, corpus map-back)
+    exact = _stage_exact(docs).persist()
+    funnel["after_exact_dedup"] = exact.count()
 
     # 3. near-dup clusters keep-one (runs only on exact-dedup survivors)
-    docs = _stage_near_dup(docs, cfg).persist()
+    docs = _stage_near_dup(exact, cfg).persist()
     funnel["after_near_dup"] = docs.count()
 
     # 4. PII scrub (text rewrite)
@@ -145,6 +178,7 @@ def run(spark: SparkSession, documents: DataFrame, cfg: CurationConfig) -> dict:
         spark.createDataFrame([funnel]).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(cfg.out_dir, "funnel")
         )
+    exact.unpersist()
     docs.unpersist()
     final.unpersist()
     return funnel
