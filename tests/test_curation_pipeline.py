@@ -133,3 +133,29 @@ def test_funnel_final_matches_run_survivors(spark):
     m = run(spark, documents, cfg)
     assert m["final_docs"] == len(lazy)
     assert {d for d, _ in lazy} == {1, 4, 5}
+
+
+def test_funnel_plan_reuses_cached_survivors(spark):
+    # the funnel plan must read its survivor-set boundaries from cache
+    # (InMemoryTableScan) and contain no cartesian anywhere — a fully lazy
+    # composition re-evaluates the quality+dedup chain multiplicatively
+    from kgx.plans.curation_pipeline import clear_funnel_cache, funnel_final
+
+    rows = [(i, GOOD.replace("research", f"research{i}")) for i in range(8)]
+    documents = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(
+        out_dir="", write=False, min_tokens=5,
+        quality_kwargs={"max_symbol_ratio": 0.2},
+    )
+    try:
+        df = funnel_final(documents, cfg)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+    finally:
+        clear_funnel_cache()

@@ -10,6 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KEEP = (
     "Scan parquet", "ReadSchema", "PushedFilters", "Join", "InPandas",
     "Exchange", "HashAggregate", "Window", "Generate", "TakeOrdered",
+    "InMemoryTableScan",
 )
 
 SECTIONS = [
@@ -71,6 +72,16 @@ SECTIONS = [
     ("sessions",
      "Native session_window aggregate: one shuffle on user_id feeds the "
      "session merge; the numbering window reuses the same partitioning."),
+    ("curation_funnel",
+     "End-to-end curation funnel: survivor-set boundaries persisted "
+     "(InMemoryTableScan feeds the near-dup and prune stages, which read "
+     "their inputs 6x/3x); connected components run on the sparse pair "
+     "graph only; no CartesianProduct anywhere."),
+    ("graph_pagerank",
+     "Integer PageRank, 5 unrolled rounds: each iteration is one label "
+     "equi-join of the edge list against the (label, rank) bigint table "
+     "plus one partial-aggregated exchange — the plan a 10^12-doc KG "
+     "needs, with checkpoint_every lineage truncation for deep runs."),
     ("vocab_topk",
      "Vocabulary head: partial HashAggregate collapses hot tokens "
      "map-side; the global head is TakeOrderedAndProject (per-partition "
