@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--no-pii-scrub", action="store_true")
     p.add_argument("--no-sentence-prune", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="commit per-stage snapshots; skip stages already committed in --out")
     p.add_argument("--master", default=None, help="override (sandbox runs)")
     args = p.parse_args(argv)
 
@@ -49,6 +51,7 @@ def main(argv=None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             scrub_pii=not args.no_pii_scrub,
             prune_sentences=not args.no_sentence_prune,
+            resume=args.resume,
         ),
     )
     print(json.dumps(metrics))

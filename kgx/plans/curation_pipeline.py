@@ -47,6 +47,9 @@ class CurationConfig:
     scrub_pii: bool = True
     prune_sentences: bool = True
     write: bool = True
+    #: commit per-stage survivor snapshots + funnel-lineage rows, and on
+    #: restart skip every committed stage (requires ``write``)
+    resume: bool = False
     #: extra keyword overrides for the quality gate (max_symbol_ratio etc.) —
     #: prose corpora with short sentences need a looser symbol cap than the
     #: Gopher default, which counts sentence-final periods as symbols.
@@ -140,37 +143,128 @@ def funnel_final(
     return _stage_prune(_mark(docs_txt) if cfg.scrub_pii else docs_txt)
 
 
-def run(spark: SparkSession, documents: DataFrame, cfg: CurationConfig) -> dict:
-    """Run the funnel over ``documents`` (doc_id, text); returns metrics."""
-    funnel: dict[str, int] = {"input": documents.count()}
+# ---------------------------------------------------------------------------
+# per-stage checkpoint/resume (the funnel's analogue of kgx.plans.lineage)
+# ---------------------------------------------------------------------------
 
-    # 1. quality gate (per-doc projection; survivors via semi join on doc_id)
-    docs = _stage_quality(documents, cfg)
-    funnel["after_quality"] = docs.count()
+#: stage-lineage row written AFTER a stage's snapshot commits — the same
+#: write-output-then-commit-lineage ordering as kgx/plans/pipeline.py, so a
+#: job killed mid-write never records a partial snapshot as done.
+CURATION_LINEAGE_SCHEMA = (
+    "stage string, metric string, n_docs long, n_pii long, finished_at timestamp"
+)
 
-    # 2. exact dedup keep-one (persisted: the near-dup stage reads its
-    # input ~6x — shingles, sizes, verify, corpus map-back)
-    exact = _stage_exact(docs).persist()
-    funnel["after_exact_dedup"] = exact.count()
 
-    # 3. near-dup clusters keep-one (runs only on exact-dedup survivors)
-    docs = _stage_near_dup(exact, cfg).persist()
-    funnel["after_near_dup"] = docs.count()
+def _stage_snapshot_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, "stages", stage)
 
-    # 4. PII scrub (text rewrite)
-    if cfg.scrub_pii:
-        scrubbed = _stage_pii(docs)
-        funnel["pii_redactions"] = int(
-            scrubbed.agg(F.coalesce(F.sum("n_pii"), F.lit(0))).collect()[0][0]
+
+def _stage_lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "funnel_lineage")
+
+
+def read_stage_lineage(spark: SparkSession, out_dir: str) -> dict[str, dict]:
+    """{stage: {"metric": ..., "n_docs": ..., "n_pii": ...}} for committed
+    stages; empty on a fresh out_dir."""
+    try:
+        rows = (
+            spark.read.schema(CURATION_LINEAGE_SCHEMA)
+            .parquet(_stage_lineage_path(out_dir))
+            .collect()
         )
-        docs_txt = scrubbed.select("doc_id", "text")
-    else:
-        docs_txt = docs
+    except Exception:
+        return {}
+    return {r["stage"]: r.asDict() for r in rows}
 
-    # 5. corpus-wide sentence prune (keep-first; fully-pruned docs drop out)
-    if cfg.prune_sentences:
-        docs_txt = _stage_prune(docs_txt)
-    final = docs_txt.persist()
+
+def run(spark: SparkSession, documents: DataFrame, cfg: CurationConfig) -> dict:
+    """Run the funnel over ``documents`` (doc_id, text); returns metrics.
+
+    With ``cfg.resume`` (requires ``cfg.write``), every stage commits its
+    survivor snapshot (``stages/<name>`` parquet, (doc_id, text) only) and
+    then appends a funnel-lineage row; a restarted run loads the snapshot of
+    the longest committed stage prefix and recomputes NOTHING before it —
+    the funnel's per-stage analogue of the KG pipeline's per-bucket lineage
+    (north rule: resume from checkpoint without recomputing completed
+    work).  Snapshot-then-lineage ordering makes a mid-write crash replay
+    the interrupted stage instead of trusting partial output."""
+    from datetime import datetime, timezone
+
+    # (stage name, metric key, builder) in funnel order; pii is the one
+    # stage that contributes an extra metric (redaction count)
+    stage_defs: list[tuple[str, str]] = [
+        ("quality", "after_quality"),
+        ("exact_dedup", "after_exact_dedup"),
+        ("near_dup", "after_near_dup"),
+    ]
+    if cfg.scrub_pii:
+        stage_defs.append(("pii", "after_pii"))
+
+    resume = cfg.resume and cfg.write
+    done = read_stage_lineage(spark, cfg.out_dir) if resume else {}
+    # longest committed prefix of THIS config's stage list
+    start_idx = 0
+    for name, _ in stage_defs:
+        if name in done:
+            start_idx += 1
+        else:
+            break
+
+    funnel: dict[str, int] = {"input": documents.count()}
+    persisted: list[DataFrame] = []
+
+    def _commit(stage: str, metric: str, df: DataFrame, n_pii: int = 0) -> DataFrame:
+        df = df.persist()
+        persisted.append(df)
+        funnel[metric] = df.count()
+        if resume:
+            df.write.mode("overwrite").parquet(
+                _stage_snapshot_path(cfg.out_dir, stage)
+            )
+            spark.createDataFrame(
+                [(stage, metric, funnel[metric], n_pii,
+                  datetime.now(timezone.utc))],
+                CURATION_LINEAGE_SCHEMA,
+            ).write.mode("append").parquet(_stage_lineage_path(cfg.out_dir))
+        return df
+
+    if start_idx > 0:
+        last_stage, _ = stage_defs[start_idx - 1]
+        docs = spark.read.parquet(
+            _stage_snapshot_path(cfg.out_dir, last_stage)
+        ).persist()
+        persisted.append(docs)
+        for name, metric in stage_defs[:start_idx]:
+            funnel[metric] = int(done[name]["n_docs"])
+            if name == "pii":
+                funnel["pii_redactions"] = int(done[name]["n_pii"])
+        if last_stage == "pii":
+            docs = docs.select("doc_id", "text")
+    else:
+        docs = documents
+
+    for name, metric in stage_defs[start_idx:]:
+        if name == "quality":
+            docs = _commit(name, metric, _stage_quality(docs, cfg))
+        elif name == "exact_dedup":
+            # persisted: the near-dup stage reads its input ~6x — shingles,
+            # sizes, verify, corpus map-back
+            docs = _commit(name, metric, _stage_exact(docs))
+        elif name == "near_dup":
+            docs = _commit(name, metric, _stage_near_dup(docs, cfg))
+        elif name == "pii":
+            scrubbed = _stage_pii(docs).persist()
+            persisted.append(scrubbed)
+            n_pii = int(
+                scrubbed.agg(F.coalesce(F.sum("n_pii"), F.lit(0))).collect()[0][0]
+            )
+            funnel["pii_redactions"] = n_pii
+            docs = _commit(name, metric, scrubbed.select("doc_id", "text"), n_pii)
+
+    # final: corpus-wide sentence prune (keep-first; fully-pruned docs drop
+    # out) — its output IS the curated table, so no separate snapshot
+    final = (_stage_prune(docs) if cfg.prune_sentences else docs).persist()
+    persisted.append(final)
     funnel["final_docs"] = final.count()
 
     if cfg.write:
@@ -178,7 +272,6 @@ def run(spark: SparkSession, documents: DataFrame, cfg: CurationConfig) -> dict:
         spark.createDataFrame([funnel]).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(cfg.out_dir, "funnel")
         )
-    exact.unpersist()
-    docs.unpersist()
-    final.unpersist()
+    for df in persisted:
+        df.unpersist()
     return funnel

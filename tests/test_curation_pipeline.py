@@ -159,3 +159,88 @@ def test_funnel_plan_reuses_cached_survivors(spark):
         assert "BroadcastNestedLoop" not in plan
     finally:
         clear_funnel_cache()
+
+
+def _resume_cfg(out, **kw):
+    base = dict(
+        out_dir=out,
+        min_tokens=20,
+        near_dup_threshold=0.5,
+        quality_kwargs={"max_symbol_ratio": 0.2},
+        resume=True,
+    )
+    base.update(kw)
+    return CurationConfig(**base)
+
+
+def test_funnel_resume_skips_committed_stages(spark):
+    import shutil as _sh
+    import tempfile as _tf
+
+    rows = [(1, GOOD), (2, GOOD), (3, GOOD2), (5, PII_DOC)]
+    documents = spark.createDataFrame(rows, "doc_id long, text string")
+    out = _tf.mkdtemp(prefix="kgx_cur_resume_")
+    try:
+        m1 = run(spark, documents, _resume_cfg(out))
+        from kgx.plans.curation_pipeline import read_stage_lineage
+
+        lin = read_stage_lineage(spark, out)
+        assert set(lin) == {"quality", "exact_dedup", "near_dup", "pii"}
+
+        # restart with a POISONED input: every stage is committed, so the
+        # restarted run must read only snapshots — if any committed stage
+        # recomputed, the poison would surface in the metrics/output
+        poisoned = spark.createDataFrame(
+            [(9, "totally different text that would change every count")],
+            "doc_id long, text string",
+        )
+        m2 = run(spark, poisoned, _resume_cfg(out))
+        for k in ("after_quality", "after_exact_dedup", "after_near_dup",
+                  "pii_redactions", "final_docs"):
+            assert m2[k] == m1[k], k
+        ids = {r.doc_id for r in spark.read.parquet(out + "/curated").collect()}
+        assert ids == {1, 3, 5}
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
+
+
+def test_funnel_resume_mid_death_converges_to_clean_run(spark):
+    import shutil as _sh
+    import tempfile as _tf
+
+    rows = [(1, GOOD), (2, GOOD), (3, GOOD2), (5, PII_DOC)]
+    documents = spark.createDataFrame(rows, "doc_id long, text string")
+    out_clean = _tf.mkdtemp(prefix="kgx_cur_clean_")
+    out_resume = _tf.mkdtemp(prefix="kgx_cur_mid_")
+    try:
+        m_clean = run(spark, documents, _resume_cfg(out_clean))
+
+        # simulate death after near_dup: commit a full run, then erase the
+        # pii snapshot+lineage so the restart replays from the near_dup one
+        run(spark, documents, _resume_cfg(out_resume))
+        import duckdb as _dd
+
+        from kgx.plans.curation_pipeline import (
+            _stage_lineage_path,
+            _stage_snapshot_path,
+        )
+
+        _sh.rmtree(_stage_snapshot_path(out_resume, "pii"))
+        lin_dir = _stage_lineage_path(out_resume)
+        kept = _dd.sql(
+            f"SELECT * FROM '{lin_dir}/*.parquet' WHERE stage <> 'pii'"
+        ).df()
+        _sh.rmtree(lin_dir)
+        import os as _os
+
+        _os.makedirs(lin_dir)
+        _dd.sql("SELECT * FROM kept").write_parquet(lin_dir + "/part-0.parquet")
+
+        m2 = run(spark, documents, _resume_cfg(out_resume))
+        assert m2 == m_clean
+        a = {tuple(r) for r in spark.read.parquet(out_clean + "/curated").collect()}
+        b = {tuple(r) for r in spark.read.parquet(out_resume + "/curated").collect()}
+        assert a == b
+    finally:
+        _sh.rmtree(out_clean, ignore_errors=True)
+        _sh.rmtree(out_resume, ignore_errors=True)
