@@ -319,6 +319,17 @@ def q_graph_pagerank(spark, sf_dir):
     return graphstats.pagerank(extract.triples_table(_graphs(spark, sf_dir)))
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle participation + degree over the undirected KG edge
+    set (a<b<c two-equi-join enumeration; exact integers so downstream
+    clustering coefficients never hash-drift).  The narrative KG is
+    near-bipartite (triangles legitimately ~0) — planted-graph semantics are
+    covered in test_graphstats."""
+    from kgx.operators import extract, graphstats
+
+    return graphstats.triangle_counts(extract.triples_table(_graphs(spark, sf_dir)))
+
+
 def q_curation_funnel(spark, sf_dir):
     """END-TO-END curation funnel over the narrative corpus (SURVEY training-
     data family, composed): quality gate (prose-adjusted symbol cap) → exact
@@ -893,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "balanced_sample": q_balanced_sample,
         "contamination": q_contamination,
         "fingerprints_winnowed": q_fingerprints_winnowed,
@@ -959,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": oracles.curation_funnel_sql(),
         "graph_degrees": oracles.graph_degrees_sql(),
         "graph_pagerank": oracles.graph_pagerank_sql(),
+        "graph_triangles": oracles.graph_triangles_sql(),
         "balanced_sample": oracles.balanced_sample_sql(),
         "contamination": oracles.contamination_sql(bench_mod=19, n=3),
         "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),

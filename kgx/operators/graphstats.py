@@ -109,3 +109,44 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(triples: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED distinct edge
+    set: (label, triangles, degree) — clustering coefficient is
+    2*triangles/(degree*(degree-1)) downstream, kept as exact integers here
+    so the cross-engine hash never sees float rounding.
+
+    Plan shape: canonical (u < v) edges, then the standard two-join triangle
+    enumeration a<b<c — each join is an equi-join on one endpoint, so the
+    heavy lifting is two hash-partitioned joins on label keys; the wedge
+    set (a<b)x(b<c) is pruned by the closing-edge join before any
+    materialization.  Degree rides along from the same canonical edge set.
+    """
+    e = (
+        edge_list(triples)
+        .select(
+            F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # a < b < c by construction
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return deg.join(per_node, "label", "left").select(
+        "label",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        "degree",
+    )

@@ -1726,3 +1726,39 @@ pr{i + 1} AS (
 {joined}
 SELECT label, rank FROM pr{iters}
 """.strip()
+
+
+def graph_triangles_sql() -> str:
+    """Oracle for per-node triangle participation (mirror of
+    kgx.operators.graphstats.triangle_counts: canonical undirected edges,
+    a<b<c two-join enumeration, degree from the same edge set)."""
+    return f"""
+{_graph_edges_ctes()},
+ue AS MATERIALIZED (
+    SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+    FROM gr_edges WHERE subj <> obj
+),
+tri AS (
+    SELECT ab.u AS a, ab.v AS b, bc.v AS c
+    FROM ue ab
+    JOIN ue bc ON bc.u = ab.v
+    JOIN ue ac ON ac.u = ab.u AND ac.v = bc.v
+),
+pn AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS triangles
+    FROM (
+        SELECT a AS label FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY 1
+),
+deg AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT u AS label FROM ue UNION ALL SELECT v FROM ue)
+    GROUP BY 1
+)
+SELECT deg.label,
+       CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       deg.degree
+FROM deg LEFT JOIN pn USING (label)
+""".strip()

@@ -98,3 +98,28 @@ def test_pagerank_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_triangle_counts_planted(spark):
+    # K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd only
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")]
+    got = {
+        r.label: (r.triangles, r.degree)
+        for r in graphstats.triangle_counts(_triples_df(spark, edges)).collect()
+    }
+    assert got == {
+        "a": (2, 3),
+        "b": (2, 3),
+        "c": (1, 2),
+        "d": (1, 2),
+    }
+
+
+def test_triangle_counts_direction_and_dup_insensitive(spark):
+    # same triangle expressed with mixed directions and duplicate edges
+    edges = [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"), ("a", "c")]
+    got = {
+        r.label: r.triangles
+        for r in graphstats.triangle_counts(_triples_df(spark, edges)).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1}
