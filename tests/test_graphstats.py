@@ -123,3 +123,38 @@ def test_triangle_counts_direction_and_dup_insensitive(spark):
         for r in graphstats.triangle_counts(_triples_df(spark, edges)).collect()
     }
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_run_graph_stats_job_over_pipeline_output(spark, sf_dir, tmp_path):
+    # the consumer job reads the MATERIALIZED triples table (never
+    # re-extracting) and its analytics agree with operators over the same df
+    import json
+    import sys
+
+    from kgx.plans import pipeline
+    from kgx.sources import corpus, docs as docs_src
+
+    graph_out = str(tmp_path / "graph")
+    docs = docs_src.spans_table(
+        corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
+    )
+    pipeline.run(
+        spark, docs, pipeline.PipelineConfig(out_dir=graph_out, n_buckets=8)
+    )
+
+    sys.path.insert(0, "jobs")
+    try:
+        import run_graph_stats
+    finally:
+        sys.path.pop(0)
+    stats_out = str(tmp_path / "stats")
+    rc = run_graph_stats.main(["--graph", graph_out, "--out", stats_out])
+    assert rc == 0
+
+    ranks = spark.read.parquet(stats_out + "/pagerank")
+    triples = pipeline.read_output(spark, graph_out, "triples")
+    direct = {r.label: r.rank for r in graphstats.pagerank(triples).collect()}
+    materialized = {r.label: r.rank for r in ranks.collect()}
+    assert materialized == direct
+    degrees = spark.read.parquet(stats_out + "/degrees")
+    assert degrees.count() == len(direct)
