@@ -158,3 +158,19 @@ def test_run_graph_stats_job_over_pipeline_output(spark, sf_dir, tmp_path):
     assert materialized == direct
     degrees = spark.read.parquet(stats_out + "/degrees")
     assert degrees.count() == len(direct)
+
+
+def test_pagerank_mass_bounds_and_dup_invariance(spark):
+    rng = random.Random(99)
+    labels = [f"m{i}" for i in range(20)]
+    edges = [(u, v) for u, v in {(rng.choice(labels), rng.choice(labels))
+                                 for _ in range(60)} if u != v]
+    t = _triples_df(spark, edges)
+    ranks = {r.label: r.rank for r in graphstats.pagerank(t).collect()}
+    n, scale, base = len(ranks), SCALE, ((10000 - DAMP) * SCALE) // 10000
+    # every node keeps at least the teleport floor; total mass never grows
+    assert all(v >= base for v in ranks.values())
+    assert sum(ranks.values()) <= n * scale
+    # doc-level duplicate triples must not change the distinct edge graph
+    dup = _triples_df(spark, edges + edges[: len(edges) // 2])
+    assert {r.label: r.rank for r in graphstats.pagerank(dup).collect()} == ranks
