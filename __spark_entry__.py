@@ -235,6 +235,39 @@ def q_emb_near_dup_pairs(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(_embeddings(spark, sf_dir))
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Integer-arithmetic Lloyd's k-means over the embedding column
+    (SemDeDup-style corpus clustering; broadcast centroids, map-side-combined
+    posexplode update — shuffle per round is partitions x k x dim rows)."""
+    from kgx.operators import clustering
+
+    return clustering.kmeans_assign(_embeddings(spark, sf_dir), k=8, rounds=2)
+
+
+def q_seq_pack(spark, sf_dir):
+    """Concat-then-chunk sequence packing into 128-token training sequences,
+    windowed PER SHARD (never a global sort)."""
+    from kgx.operators import packing
+
+    return packing.seq_pack(_documents(spark, sf_dir), capacity=128, n_shards=8)
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard export manifest with an order-independent doc-set
+    checksum."""
+    from kgx.operators import packing
+
+    return packing.shard_manifest(_documents(spark, sf_dir), n_shards=8)
+
+
+def q_token_mix(spark, sf_dir):
+    """Source-mixing plan on a token budget: largest budget every source can
+    supply at its target weight, exact-bigint rates, hash-Bernoulli audit."""
+    from kgx.operators import packing
+
+    return packing.token_mix_plan(_documents(spark, sf_dir))
+
+
 def q_text_stats(spark, sf_dir):
     """Token/char/punct counts + rational-arithmetic quality score."""
     from kgx.operators import textstats
@@ -938,6 +971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_fake": q_media_decode_fake,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
+        "emb_kmeans": q_emb_kmeans,
+        "seq_pack": q_seq_pack,
+        "shard_manifest": q_shard_manifest,
+        "token_mix": q_token_mix,
     }
 
 
@@ -1005,4 +1042,8 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_fake": oracles.media_decode_sql(),
         "media_frames": oracles.media_frames_sql(),
         "media_resize": oracles.media_resize_sql(),
+        "emb_kmeans": oracles.emb_kmeans_sql(k=8, rounds=2),
+        "seq_pack": oracles.seq_pack_sql(capacity=128, n_shards=8),
+        "shard_manifest": oracles.shard_manifest_sql(n_shards=8),
+        "token_mix": oracles.token_mix_sql(),
     }

@@ -46,6 +46,8 @@ def main() -> None:
         "dedup_simhash_pairs",
         "emb_near_dup_pairs",
         "ann_topk",
+        "emb_kmeans",
+        "seq_pack",
         "text_stats",
         "curation_funnel",
         "a1_pricing_summary",

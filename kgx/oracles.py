@@ -1762,3 +1762,171 @@ SELECT deg.label,
        deg.degree
 FROM deg LEFT JOIN pn USING (label)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# embedding k-means (kgx.operators.clustering)
+# ---------------------------------------------------------------------------
+
+
+def emb_kmeans_sql(k: int = 8, rounds: int = 2) -> str:
+    """Oracle for integer-arithmetic Lloyd's k-means (mirror of
+    kgx.operators.clustering.kmeans_assign).  Rounds are UNROLLED into
+    chained CTEs (the graph_pagerank_sql stance); centroid means use
+    DuckDB ``//`` == Spark ``DIV`` toward-zero truncation; the argmax
+    ranking double ``dot / sqrt(cnrm)`` is correctly-rounded IEEE on exact
+    integer inputs, so assignments match Spark bit-for-bit."""
+    ctes = [
+        _QUANT_CTES,
+        "vdims AS MATERIALIZED (SELECT vec_id, unnest(q) AS v,"
+        " unnest(range(len(q))) AS pos FROM base)",
+        f"c0 AS (SELECT vec_id AS cluster, q AS cq, nrm AS cnrm"
+        f" FROM base WHERE vec_id < {k})",
+    ]
+    for r in range(rounds):
+        dot = _DUCK_DOT.format(a="base.q", b=f"c{r}.cq")
+        ctes.append(f"""
+s{r} AS (
+    SELECT base.vec_id, c{r}.cluster,
+           row_number() OVER (
+               PARTITION BY base.vec_id
+               ORDER BY CAST({dot} AS DOUBLE) / sqrt(CAST(c{r}.cnrm AS DOUBLE)) DESC,
+                        c{r}.cluster) AS rn
+    FROM base CROSS JOIN c{r}
+),
+a{r} AS (SELECT vec_id, cluster FROM s{r} WHERE rn = 1),
+m{r} AS (
+    SELECT a.cluster, d.pos, sum(d.v) // count(*) AS c
+    FROM a{r} a JOIN vdims d USING (vec_id)
+    GROUP BY 1, 2
+),
+c{r + 1} AS (
+    SELECT cluster, list(c ORDER BY pos) AS cq,
+           CAST(list_sum(list_transform(list(c ORDER BY pos), x -> x * x)) AS BIGINT) AS cnrm
+    FROM m{r} GROUP BY cluster
+    HAVING CAST(list_sum(list_transform(list(c ORDER BY pos), x -> x * x)) AS BIGINT) > 0
+)
+""".strip())
+    fdot = _DUCK_DOT.format(a="base.q", b=f"c{rounds}.cq")
+    ctes.append(f"""
+fin AS (
+    SELECT base.vec_id, c{rounds}.cluster, {fdot} AS dot,
+           base.nrm AS qnrm, c{rounds}.cnrm AS vnrm,
+           row_number() OVER (
+               PARTITION BY base.vec_id
+               ORDER BY CAST({fdot} AS DOUBLE) / sqrt(CAST(c{rounds}.cnrm AS DOUBLE)) DESC,
+                        c{rounds}.cluster) AS rn
+    FROM base CROSS JOIN c{rounds}
+)
+""".strip())
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT vec_id, cluster, {_DUCK_COS} AS cosine FROM fin WHERE rn = 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# training-data export: sharding / packing / mixing (kgx.operators.packing)
+# ---------------------------------------------------------------------------
+
+
+def _shard_ctes(n_shards: int) -> str:
+    from kgx.operators.packing import CHECKSUM_MOD  # noqa: F401 (doc link)
+    from kgx.oracles import _duck_md5_60 as _h
+
+    tok = "len(list_filter(str_split(text, ' '), t -> t <> ''))"
+    return f"""
+sh AS MATERIALIZED (
+    SELECT doc_id,
+           CAST({_h("cast(doc_id as varchar)")} % {n_shards} AS BIGINT) AS shard,
+           CAST({tok} AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE {tok} > 0
+)
+""".strip()
+
+
+def seq_pack_sql(capacity: int = 128, n_shards: int = 8) -> str:
+    """Oracle for concat-then-chunk sequence packing (mirror of
+    kgx.operators.packing.seq_pack): per-shard running token sum in
+    (shard, doc_id) order, chunk ids by toward-zero integer division."""
+    return f"""
+WITH {_shard_ctes(n_shards)},
+cum AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM sh
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(c - n_tokens AS BIGINT) AS start_tok,
+       CAST((c - n_tokens) // {capacity} AS BIGINT) AS first_seq,
+       CAST((c - 1) // {capacity} AS BIGINT) AS last_seq,
+       CAST((c - 1) // {capacity} - (c - n_tokens) // {capacity} + 1 AS BIGINT) AS n_seqs
+FROM cum
+""".strip()
+
+
+def shard_manifest_sql(n_shards: int = 8) -> str:
+    """Oracle for per-shard export manifests (mirror of
+    kgx.operators.packing.shard_manifest)."""
+    from kgx.operators.packing import CHECKSUM_MOD
+
+    h = _duck_md5_60("cast(doc_id as varchar)")
+    return f"""
+WITH {_shard_ctes(n_shards)}
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum({h} % {CHECKSUM_MOD}) AS BIGINT) AS checksum
+FROM sh GROUP BY shard
+""".strip()
+
+
+def token_mix_sql() -> str:
+    """Oracle for the source-mixing token-budget plan (mirror of
+    kgx.operators.packing.token_mix_plan; shares the WEIGHT fixture via the
+    same md5-60 derivation)."""
+    h = _duck_md5_60("cast(doc_id as varchar)")
+    w = f"(1 + {_duck_md5_60('source')} % 3)"
+    tok = "len(list_filter(str_split(text, ' '), t -> t <> ''))"
+    return f"""
+WITH base AS MATERIALIZED (
+    SELECT doc_id, source,
+           CAST({w} AS BIGINT) AS weight,
+           CAST({tok} AS BIGINT) AS n_tokens,
+           CAST({h} % 10000 AS BIGINT) AS u
+    FROM documents
+    WHERE {tok} > 0
+),
+per_source AS (
+    SELECT source, weight, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM base GROUP BY 1, 2
+),
+binding AS (
+    SELECT n_tokens AS bn, weight AS bw
+    FROM per_source
+    ORDER BY CAST(n_tokens AS DOUBLE) / weight ASC, source ASC
+    LIMIT 1
+),
+rates AS (
+    SELECT source, weight, n_docs, n_tokens,
+           CAST(least(10000, (10000 * weight * b.bn) // (b.bw * n_tokens)) AS BIGINT) AS rate_bp
+    FROM per_source, binding b
+),
+picked AS (
+    SELECT b.source, CAST(count(*) AS BIGINT) AS sampled_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS sampled_tokens
+    FROM base b JOIN rates r USING (source)
+    WHERE b.u < r.rate_bp
+    GROUP BY 1
+)
+SELECT r.source, r.weight, r.n_docs, r.n_tokens, r.rate_bp,
+       CAST(coalesce(p.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+       CAST(coalesce(p.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+FROM rates r LEFT JOIN picked p USING (source)
+""".strip()

@@ -1,0 +1,117 @@
+"""Integer-arithmetic k-means (kgx.operators.clustering).
+
+Covers: equivalence against a pure-Python Lloyd reference on the real
+embeddings table, Lloyd's monotone-improvement property, the DIV/`//`
+truncation-parity assumption the DuckDB oracle rests on, and a plan guard
+(the only cross joins are broadcast of the k-row centroid table)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgx.operators import clustering
+from kgx.operators.similarity import QUANT
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _py_kmeans(rows, k, rounds):
+    """Pure-Python reference replaying the exact integer contract."""
+    def _half_up(v):
+        # Spark/DuckDB round(): ties away from zero (never hit in practice
+        # with double products, emulated exactly anyway)
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    vecs = {}
+    for vec_id, embedding in rows:
+        q = [_half_up(float(x) * QUANT) for x in embedding]
+        if sum(v * v for v in q) > 0:
+            vecs[vec_id] = q
+    cents = {i: list(vecs[i]) for i in sorted(vecs) if i < k}
+
+    def assign(cents):
+        out = {}
+        for vid, q in vecs.items():
+            best = None
+            for cid in sorted(cents):
+                c = cents[cid]
+                cn = sum(x * x for x in c)
+                if cn <= 0:
+                    continue
+                dot = sum(a * b for a, b in zip(q, c))
+                score = dot / math.sqrt(cn)
+                if best is None or score > best[0]:
+                    best = (score, cid)
+            out[vid] = best[1]
+        return out
+
+    for _ in range(rounds):
+        a = assign(cents)
+        nxt = {}
+        for cid in set(a.values()):
+            members = [vecs[v] for v, c in a.items() if c == cid]
+            n = len(members)
+            # toward-zero truncation, matching Spark DIV / DuckDB //
+            c = [s // n if s >= 0 else -((-s) // n) for s in (sum(col) for col in zip(*members))]
+            if sum(x * x for x in c) > 0:
+                nxt[cid] = c
+        cents = nxt
+    return assign(cents), cents
+
+
+def test_kmeans_matches_pure_python(spark, emb):
+    rows = [(r.vec_id, r.embedding) for r in emb.select("vec_id", "embedding").collect()]
+    expect, cents = _py_kmeans(rows, k=8, rounds=2)
+
+    got = {
+        r.vec_id: r.cluster
+        for r in clustering.kmeans_assign(emb, k=8, rounds=2).collect()
+    }
+    assert got == expect
+
+
+def test_kmeans_cosines_bounded_and_improving(spark, emb):
+    """Every reported cosine is in [-1, 1]; mean cosine after 2 update
+    rounds >= mean cosine with the raw init centroids (Lloyd never worsens
+    the mean similarity to the assigned centroid)."""
+    r0 = clustering.kmeans_assign(emb, k=8, rounds=0)
+    r2 = clustering.kmeans_assign(emb, k=8, rounds=2)
+    m0 = r0.agg(F.avg("cosine")).first()[0]
+    m2 = r2.agg(F.avg("cosine")).first()[0]
+    mx = r2.agg(F.max("cosine"), F.min("cosine")).first()
+    assert mx[0] <= 1.0 + 1e-12 and mx[1] >= -1.0 - 1e-12
+    assert m2 >= m0 - 1e-12
+
+
+def test_div_truncation_parity(spark):
+    """The oracle's correctness rests on Spark DIV == DuckDB // (both
+    truncate toward zero). Pin both engines on negative/positive mixes."""
+    import duckdb
+
+    cases = [(-7, 2), (7, 2), (-7, -2), (5, 3), (-5, 3), (0, 4), (-1, 5)]
+    got_spark = spark.sql(
+        "SELECT " + ", ".join(f"{a} DIV {b}" for a, b in cases)
+    ).first()
+    got_duck = duckdb.sql(
+        "SELECT " + ", ".join(f"({a}) // ({b})" for a, b in cases)
+    ).fetchone()
+    assert tuple(got_spark) == tuple(got_duck)
+    assert tuple(got_duck) == tuple(int(a / b) for a, b in cases)
+
+
+def test_kmeans_plan_no_unbroadcast_cartesian(spark, emb):
+    plan = clustering.kmeans_assign(emb, k=8, rounds=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_stats_partition_of_vectors(spark, emb):
+    assigns = clustering.kmeans_assign(emb, k=8, rounds=2)
+    stats = clustering.cluster_stats(assigns)
+    total = stats.agg(F.sum("n_vecs")).first()[0]
+    n_vecs = assigns.count()
+    assert total == n_vecs
+    assert stats.count() <= 8
