@@ -165,7 +165,9 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from kgx.sources.docs import spread_small_scan
+
+    return spread_small_scan(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def q_dedup_exact(spark, sf_dir):

@@ -131,26 +131,16 @@ def ngram_jaccard_pairs(
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(
+def hashed_shingles(
     documents: DataFrame,
     n: int = 3,
-    num_hashes: int = 16,
     shingle_expr: str | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>) — per-row computation, zero shuffle.
-
-    One md5-60 base hash per shingle, then the whole signature via the
-    universal-hash family sig[s] = min over shingles of
-    (a_s * h + b_s) mod p (kgx.functions.hashing.minhash_derived) — 16x
-    fewer md5 evaluations than hashing each (seed, shingle) pair; docs with
-    no shingles are dropped (shorter than n tokens)."""
+    """(doc_id, hs array<bigint>) — the distinct-shingle hash SET per doc,
+    one md5-60 per shingle, zero shuffle; docs with no shingles are dropped
+    (shorter than n tokens)."""
     expr = shingle_expr or _shingle_expr(n)
-    mins = ", ".join(
-        "aggregate(hs, cast(9223372036854775807 as bigint), "
-        f"(acc, x) -> least(acc, {hashing.minhash_derived('x', s)}))"
-        for s in range(num_hashes)
-    )
     return (
         documents.select(id_col, F.expr(expr).alias("shingles"))
         .where(F.size("shingles") > 0)
@@ -160,7 +150,29 @@ def minhash_signatures(
                 f"transform(shingles, s -> {hashing.spark_md5_60('s')})"
             ).alias("hs"),
         )
-        .select(id_col, F.expr(f"array({mins})").alias("sig"))
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    shingle_expr: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) — per-row computation, zero shuffle.
+
+    One md5-60 base hash per shingle (:func:`hashed_shingles`), then the
+    whole signature via the universal-hash family sig[s] = min over shingles
+    of (a_s * h + b_s) mod p (kgx.functions.hashing.minhash_derived) — 16x
+    fewer md5 evaluations than hashing each (seed, shingle) pair."""
+    mins = ", ".join(
+        "aggregate(hs, cast(9223372036854775807 as bigint), "
+        f"(acc, x) -> least(acc, {hashing.minhash_derived('x', s)}))"
+        for s in range(num_hashes)
+    )
+    return hashed_shingles(documents, n, shingle_expr, id_col).select(
+        id_col, F.expr(f"array({mins})").alias("sig")
     )
 
 
@@ -182,9 +194,23 @@ def minhash_lsh_pairs(
     ``max_bucket`` is the LSH skew guard: a band bucket holding more than
     that many documents is a low-information collision (common min-shingles),
     and its within-bucket pair count grows quadratically — it is dropped
-    before the self-join.  True near-duplicates still collide in their other
-    (b-1) discriminative bands, and every surviving candidate is verified
-    with exact Jaccard anyway.
+    before pair enumeration.  True near-duplicates still collide in their
+    other (b-1) discriminative bands, and every surviving candidate is
+    verified with exact Jaccard anyway.
+
+    Plan shape (reworked in round 2 after stage profiling): the signature
+    pipeline is evaluated ONCE — buckets come from a single
+    groupBy(band, band_hash) + collect_list whose in-bucket pairs are
+    enumerated with array higher-order functions (bounded by
+    ``max_bucket``² per bucket), replacing the earlier bucket SELF-JOIN
+    that re-evaluated the signature plan on both sides; verification
+    carries each candidate's distinct-shingle hash array (identical set to
+    the old exploded shingle_table) and computes exact Jaccard with
+    ``array_intersect`` on the candidate rows only, replacing three more
+    full re-evaluations of the shingle pipeline (sizes + two exploded join
+    sides).  Same output bit-for-bit, ~4× less work: the corpus-wide cost
+    is one shingle+hash pass and one minhash pass, and the only shuffles
+    carry (band, band_hash, id) buckets and candidate-id arrays.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(documents, n, num_hashes, shingle_expr, id_col)
@@ -198,39 +224,42 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    small = (
+    buckets = (
         banded.groupBy("band", "band_hash")
-        .count()
-        .where(F.col("count") <= max_bucket)
-        .select("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    banded = banded.join(small, ["band", "band_hash"])
-    x, y = banded.alias("x"), banded.alias("y")
     cands = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
         )
-        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # exact-Jaccard verification restricted to the candidate pairs — the
-    # whole point of LSH is to never materialize the full similarity join
-    sh = shingle_table(documents, n, shingle_expr, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    sha = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle_hash").alias("ha"))
-    shb = sh.select(F.col(id_col).alias("b_doc"), F.col("shingle_hash").alias("hb"))
-    inter = (
-        cands.join(sha, "doc_a")
-        .join(shb, (F.col("doc_b") == F.col("b_doc")) & (F.col("ha") == F.col("hb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    # whole point of LSH is to never materialize the full similarity join.
+    # hs is a distinct set by construction (_shingle_expr array_distincts
+    # before hashing), so array_intersect sizes equal the old relational
+    # hash-equality join counts.
+    sets_ = hashed_shingles(documents, n, shingle_expr, id_col)
+    sa = sets_.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("ha"))
+    sb = sets_.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("hb"))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(ha, hb))").cast("long").alias("inter"),
+            F.expr("size(ha)").cast("long").alias("na"),
+            F.expr("size(hb)").cast("long").alias("nb"),
+        )
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

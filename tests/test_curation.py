@@ -52,12 +52,23 @@ def test_pii_ssn_not_half_eaten_by_phone(spark):
 
 @pytest.mark.usefixtures("spark")
 def test_pii_scrub_plan_is_pure_projection(spark, sf_dir):
-    """Zero exchange, zero Python crossing — the pass fronts the 100 TB scan."""
-    import __spark_entry__ as em
-
-    plan = _plan(em.queries()["pii_scrub"](spark, sf_dir))
+    """The OPERATOR adds zero exchange, zero Python crossing over a raw
+    scan — the pass fronts the 100 TB scan.  (The gate query's input goes
+    through spread_small_scan, which inserts ONE rebalance exchange for the
+    single-split driver fixture only — asserted separately below.)"""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(curation.pii_scrub(raw))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    import re
+
+    import __spark_entry__ as em
+
+    gate_plan = _plan(em.queries()["pii_scrub"](spark, sf_dir))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", gate_plan, re.M))
+    assert n_exchanges <= 1, gate_plan  # input spread only
+    assert "BatchEvalPython" not in gate_plan and "ArrowEvalPython" not in gate_plan
 
 
 @pytest.mark.usefixtures("spark")

