@@ -126,13 +126,22 @@ def funnel_final(
     rejoin), so a fully lazy composition re-evaluates the quality+dedup
     chain multiplicatively (measured: minutes instead of seconds at sf0.1).
     Cached tables are (doc_id, text) only; call :func:`clear_funnel_cache`
-    when done (mirrors __spark_entry__'s bounded extraction cache)."""
+    when done (mirrors __spark_entry__'s bounded extraction cache).
+
+    Boundaries are materialized EAGERLY (a count() per persisted boundary):
+    inside one fully-lazy job the near-dup plan references its cached input
+    from several concurrent shuffle-map branches (signatures, two
+    verification sides, the keep semi-join), and branches racing a COLD
+    cache each recompute the whole upstream chain — measured ~2× the
+    stage-sequential cost at sf0.1.  Three cheap extra jobs buy
+    populated-once caches."""
     from pyspark import StorageLevel
 
     def _mark(df: DataFrame) -> DataFrame:
         if persist:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             _FUNNEL_CACHE.append(df)
+            df.count()
         return df
 
     # the INPUT is cached too: the quality gate derives ~10 stat columns

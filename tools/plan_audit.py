@@ -86,6 +86,19 @@ SECTIONS = [
      "Vocabulary head: partial HashAggregate collapses hot tokens "
      "map-side; the global head is TakeOrderedAndProject (per-partition "
      "heaps), not a full sort."),
+    ("emb_kmeans",
+     "Integer Lloyd's k-means: centroid table broadcast into every "
+     "assignment; the update shuffle carries only partitions x k x dim "
+     "pre-combined (cluster, pos) partial sums — the corpus never "
+     "re-shuffles between rounds."),
+    ("seq_pack",
+     "Concat-then-chunk packing: ONE hash exchange on shard, then a "
+     "per-shard running-sum window — never a global sort/single-partition "
+     "window."),
+    ("token_mix",
+     "Source-mixing plan: two map-side-combined aggregates over the "
+     "corpus; the |sources|-row rate table broadcasts back for the "
+     "sampling audit."),
 ]
 
 
