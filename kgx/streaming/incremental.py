@@ -139,3 +139,67 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental export-manifest maintenance (streaming twin of packing)
+# ---------------------------------------------------------------------------
+
+
+def start_manifest_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+    available_now: bool = True,
+):
+    """Maintain per-shard export manifests over a (doc_id, text) stream.
+
+    Every manifest column (kgx.operators.packing.shard_manifest) is a
+    MERGEABLE aggregate — counts, token/char sums, and the
+    order-independent doc-set checksum (an associative bigint sum) — so
+    maintenance needs no read-modify-write of a global table: each
+    micro-batch appends its per-shard DELTA rows (``n_shards`` tiny rows,
+    written into a ``batch_id=`` partition with dynamic partition overwrite
+    so an at-least-once foreachBatch retry rewrites the same partition
+    instead of double-counting), and the live manifest is the groupBy-sum
+    over deltas (:func:`current_shard_manifest`).  At 100 TB ingest the hot
+    path touches only the batch and n_shards rows; delta compaction is
+    optional and offline.  Streaming == batch equality is asserted by
+    tests/test_streaming_versions.py.
+    """
+    from kgx.operators import packing
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = packing.shard_manifest(batch_df, n_shards).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            delta.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "manifest_deltas"))
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string").parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", os.path.join(out_dir, "_manifest_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live manifest: merge all committed deltas (sum of mergeable
+    aggregates per shard)."""
+    deltas = spark.read.parquet(os.path.join(out_dir, "manifest_deltas"))
+    return deltas.groupBy("shard").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("checksum").alias("checksum"),
+    )

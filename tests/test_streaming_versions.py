@@ -201,3 +201,45 @@ def test_streaming_sessions_match_batch(spark):
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_streaming_manifest_equals_batch_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Incremental manifest maintenance: three micro-batch drops merge to
+    exactly the batch shard_manifest of the union (every column is a
+    mergeable aggregate, incl. the order-independent checksum); replaying
+    the stream with the same checkpoint appends nothing new."""
+    from kgx.operators import packing
+
+    docs = docs_src.load_documents(spark, sf_dir).select("doc_id", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    q = incremental.start_manifest_maintenance(spark, in_dir, out_dir, n_shards=8)
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in incremental.current_shard_manifest(spark, out_dir).collect()
+    }
+    want = {tuple(r) for r in packing.shard_manifest(docs, 8).collect()}
+    assert got == want
+
+    # restart with the same checkpoint: no pending input -> manifest unchanged
+    n_delta_rows = spark.read.parquet(
+        os.path.join(out_dir, "manifest_deltas")
+    ).count()
+    q2 = incremental.start_manifest_maintenance(spark, in_dir, out_dir, n_shards=8)
+    q2.awaitTermination(120)
+    assert (
+        spark.read.parquet(os.path.join(out_dir, "manifest_deltas")).count()
+        == n_delta_rows
+    )
+    got2 = {
+        tuple(r)
+        for r in incremental.current_shard_manifest(spark, out_dir).collect()
+    }
+    assert got2 == want
