@@ -246,6 +246,15 @@ def q_emb_kmeans(spark, sf_dir):
     return clustering.kmeans_assign(_embeddings(spark, sf_dir), k=8, rounds=2)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup: k-means bucketing + within-cluster cosine ball, keep-first
+    (cluster equi-join is the only shuffle beyond k-means; k sized so
+    clusters stay bounded at corpus scale)."""
+    from kgx.operators import clustering
+
+    return clustering.semdedup(_embeddings(spark, sf_dir), k=8, rounds=2, min_cosine=0.4)
+
+
 def q_seq_pack(spark, sf_dir):
     """Concat-then-chunk sequence packing into 128-token training sequences,
     windowed PER SHARD (never a global sort)."""
@@ -974,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "emb_kmeans": q_emb_kmeans,
+        "semdedup": q_semdedup,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
         "token_mix": q_token_mix,
@@ -1045,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": oracles.media_frames_sql(),
         "media_resize": oracles.media_resize_sql(),
         "emb_kmeans": oracles.emb_kmeans_sql(k=8, rounds=2),
+        "semdedup": oracles.semdedup_sql(k=8, rounds=2, min_cosine=0.4),
         "seq_pack": oracles.seq_pack_sql(capacity=128, n_shards=8),
         "shard_manifest": oracles.shard_manifest_sql(n_shards=8),
         "token_mix": oracles.token_mix_sql(),

@@ -117,6 +117,55 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, rounds: int = 2) -> DataFra
     )
 
 
+def semdedup(
+    embeddings: DataFrame, k: int = 8, rounds: int = 2, min_cosine: float = 0.5
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means bucketing.
+
+    Cluster the embedding space (:func:`kmeans_assign`), then compare only
+    WITHIN clusters with the exact quantized cosine; a vector is a
+    semantic duplicate iff a smaller-id cluster-mate lies inside its cosine
+    ball (keep-first, the same canonical-min policy as the text dedup
+    family).  Output covers every clustered vector:
+    (vec_id, cluster, dup_of, is_duplicate) — ``dup_of`` = the smallest
+    such cluster-mate, NULL for keepers.
+
+    Scale stance: within-cluster comparison is the SemDeDup design — k is
+    sized so clusters hold ~1k-100k points at corpus scale (k ∝ N), keeping
+    the per-cluster pair join bounded; the cluster equi-join is the only
+    shuffle beyond k-means itself.  The paper resolves ε-balls greedily
+    per cluster too (keeping one point per ball); keep-first-by-id is the
+    deterministic, engine-replayable variant of that choice.
+    """
+    assigns = kmeans_assign(embeddings, k, rounds).select("vec_id", "cluster")
+    base = quantized(embeddings).where(F.col("nrm") > 0)
+    vb = assigns.join(base, "vec_id")
+    x = vb.select(
+        F.col("cluster").alias("cx"), F.col("vec_id").alias("xa"),
+        F.col("q").alias("qx"), F.col("nrm").alias("nx"),
+    )
+    y = vb.select(
+        F.col("cluster").alias("cy"), F.col("vec_id").alias("ya"),
+        F.col("q").alias("qy"), F.col("nrm").alias("ny"),
+    )
+    cos = (
+        f"cast({_dot('qx', 'qy')} as double) / "
+        "(sqrt(cast(nx as double)) * sqrt(cast(ny as double)))"
+    )
+    dups = (
+        x.join(y, (F.col("cx") == F.col("cy")) & (F.col("xa") < F.col("ya")))
+        .where(F.expr(cos) >= F.lit(min_cosine))
+        .groupBy(F.col("ya").alias("vec_id"))
+        .agg(F.min("xa").alias("dup_of"))
+    )
+    return assigns.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_duplicate"),
+    )
+
+
 def cluster_stats(assignments: DataFrame) -> DataFrame:
     """Per-cluster summary over :func:`kmeans_assign` output:
     (cluster, n_vecs, min_vec_id) — the shape cluster-balanced sampling and

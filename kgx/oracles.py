@@ -1769,13 +1769,10 @@ FROM deg LEFT JOIN pn USING (label)
 # ---------------------------------------------------------------------------
 
 
-def emb_kmeans_sql(k: int = 8, rounds: int = 2) -> str:
-    """Oracle for integer-arithmetic Lloyd's k-means (mirror of
-    kgx.operators.clustering.kmeans_assign).  Rounds are UNROLLED into
-    chained CTEs (the graph_pagerank_sql stance); centroid means use
-    DuckDB ``//`` == Spark ``DIV`` toward-zero truncation; the argmax
-    ranking double ``dot / sqrt(cnrm)`` is correctly-rounded IEEE on exact
-    integer inputs, so assignments match Spark bit-for-bit."""
+def _kmeans_ctes(k: int = 8, rounds: int = 2) -> str:
+    """Shared CTE chain for the unrolled integer Lloyd's k-means: ends with
+    ``fin`` (vec_id, cluster, dot, qnrm, vnrm, rn) — final assignment is
+    ``rn = 1``."""
     ctes = [
         _QUANT_CTES,
         "vdims AS MATERIALIZED (SELECT vec_id, unnest(q) AS v,"
@@ -1819,10 +1816,45 @@ fin AS (
     FROM base CROSS JOIN c{rounds}
 )
 """.strip())
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def emb_kmeans_sql(k: int = 8, rounds: int = 2) -> str:
+    """Oracle for integer-arithmetic Lloyd's k-means (mirror of
+    kgx.operators.clustering.kmeans_assign).  Rounds are UNROLLED into
+    chained CTEs (the graph_pagerank_sql stance); centroid means use
+    DuckDB ``//`` == Spark ``DIV`` toward-zero truncation; the argmax
+    ranking double ``dot / sqrt(cnrm)`` is correctly-rounded IEEE on exact
+    integer inputs, so assignments match Spark bit-for-bit."""
     return f"""
-WITH {joined}
+WITH {_kmeans_ctes(k, rounds)}
 SELECT vec_id, cluster, {_DUCK_COS} AS cosine FROM fin WHERE rn = 1
+""".strip()
+
+
+def semdedup_sql(k: int = 8, rounds: int = 2, min_cosine: float = 0.5) -> str:
+    """Oracle for SemDeDup-style within-cluster semantic dedup (mirror of
+    kgx.operators.clustering.semdedup): k-means buckets, within-cluster
+    exact quantized cosine, keep-first (drop a vector iff a smaller-id
+    cluster-mate sits within the cosine ball)."""
+    dot = _DUCK_DOT.format(a="x.q", b="y.q")
+    cos = (
+        f"CAST({dot} AS DOUBLE) / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE)))"
+    )
+    return f"""
+WITH {_kmeans_ctes(k, rounds)},
+asg AS (SELECT vec_id, cluster FROM fin WHERE rn = 1),
+vb AS (SELECT a.vec_id, a.cluster, base.q, base.nrm
+       FROM asg a JOIN base USING (vec_id)),
+dp AS (
+    SELECT y.vec_id, CAST(min(x.vec_id) AS BIGINT) AS dup_of
+    FROM vb x JOIN vb y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE {cos} >= {min_cosine}
+    GROUP BY 1
+)
+SELECT a.vec_id, a.cluster, dp.dup_of,
+       (dp.dup_of IS NOT NULL) AS is_duplicate
+FROM asg a LEFT JOIN dp USING (vec_id)
 """.strip()
 
 

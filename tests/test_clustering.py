@@ -115,3 +115,51 @@ def test_cluster_stats_partition_of_vectors(spark, emb):
     n_vecs = assigns.count()
     assert total == n_vecs
     assert stats.count() <= 8
+
+
+def test_semdedup_matches_pure_python(spark, emb):
+    """Keep-first within-cluster dedup replayed exactly in Python over the
+    same integer contract."""
+    tau = 0.4
+    rows = [(r.vec_id, r.embedding) for r in emb.select("vec_id", "embedding").collect()]
+    assign, _ = _py_kmeans(rows, k=8, rounds=2)
+
+    def _half_up(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    vecs = {}
+    for vec_id, embedding in rows:
+        q = [_half_up(float(x) * QUANT) for x in embedding]
+        if sum(v * v for v in q) > 0:
+            vecs[vec_id] = q
+
+    def cos(u, v):
+        du = sum(a * b for a, b in zip(vecs[u], vecs[v]))
+        return du / (
+            math.sqrt(sum(a * a for a in vecs[u]))
+            * math.sqrt(sum(b * b for b in vecs[v]))
+        )
+
+    expect = {}
+    for v in sorted(assign):
+        mates = [u for u in sorted(assign) if u < v and assign[u] == assign[v]
+                 and cos(u, v) >= tau]
+        expect[v] = (assign[v], min(mates) if mates else None, bool(mates))
+
+    from kgx.operators import clustering
+
+    got = {
+        r.vec_id: (r.cluster, r.dup_of, r.is_duplicate)
+        for r in clustering.semdedup(emb, k=8, rounds=2, min_cosine=tau).collect()
+    }
+    assert got == expect
+    assert any(d for (_, _, d) in got.values())  # the gate threshold bites
+
+
+def test_semdedup_keepers_cover_every_cluster(spark, emb):
+    from kgx.operators import clustering
+
+    out = clustering.semdedup(emb, k=8, rounds=2, min_cosine=0.4)
+    keep_clusters = {r.cluster for r in out.where("NOT is_duplicate").collect()}
+    all_clusters = {r.cluster for r in out.collect()}
+    assert keep_clusters == all_clusters  # keep-first never empties a cluster
