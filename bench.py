@@ -47,6 +47,7 @@ def main() -> None:
         "emb_near_dup_pairs",
         "ann_topk",
         "emb_kmeans",
+        "semdedup",
         "seq_pack",
         "text_stats",
         "curation_funnel",
