@@ -246,6 +246,22 @@ def q_emb_kmeans(spark, sf_dir):
     return clustering.kmeans_assign(_embeddings(spark, sf_dir), k=8, rounds=2)
 
 
+def q_inverted_postings(spark, sf_dir):
+    """Inverted token index (token, doc_id, tf, df) — retrieval-side
+    companion to ANN; df cutoffs bound posting lists like the hot-shingle
+    guard."""
+    from kgx.operators import indexing
+
+    return indexing.inverted_postings(_documents(spark, sf_dir), min_df=2, max_df=400)
+
+
+def q_lm_trigram_counts(spark, sf_dir):
+    """Trigram LM count table with Kneser-Ney continuation counts."""
+    from kgx.operators import indexing
+
+    return indexing.lm_ngram_counts(_documents(spark, sf_dir), n=3, min_count=2)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup: k-means bucketing + within-cluster cosine ball, keep-first
     (cluster equi-join is the only shuffle beyond k-means; k sized so
@@ -984,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "emb_kmeans": q_emb_kmeans,
         "semdedup": q_semdedup,
+        "inverted_postings": q_inverted_postings,
+        "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
         "token_mix": q_token_mix,
@@ -1056,6 +1074,8 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": oracles.media_resize_sql(),
         "emb_kmeans": oracles.emb_kmeans_sql(k=8, rounds=2),
         "semdedup": oracles.semdedup_sql(k=8, rounds=2, min_cosine=0.4),
+        "inverted_postings": oracles.inverted_postings_sql(min_df=2, max_df=400),
+        "lm_trigram_counts": oracles.lm_ngram_counts_sql(n=3, min_count=2),
         "seq_pack": oracles.seq_pack_sql(capacity=128, n_shards=8),
         "shard_manifest": oracles.shard_manifest_sql(n_shards=8),
         "token_mix": oracles.token_mix_sql(),

@@ -1962,3 +1962,59 @@ SELECT r.source, r.weight, r.n_docs, r.n_tokens, r.rate_bp,
        CAST(coalesce(p.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
 FROM rates r LEFT JOIN picked p USING (source)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# text indexing (kgx.operators.indexing)
+# ---------------------------------------------------------------------------
+
+_DOC_TOKENS_CTE = """
+toks AS MATERIALIZED (
+    SELECT doc_id, unnest(list_filter(str_split(text, ' '), t -> t <> '')) AS token
+    FROM documents
+)
+""".strip()
+
+
+def inverted_postings_sql(min_df: int = 1, max_df: int | None = None) -> str:
+    """Oracle for the inverted token index (mirror of
+    kgx.operators.indexing.inverted_postings)."""
+    max_clause = f"AND df <= {max_df}" if max_df is not None else ""
+    return f"""
+WITH {_DOC_TOKENS_CTE},
+tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1 HAVING count(*) >= {min_df} {max_clause})
+SELECT tf.token, tf.doc_id, tf.tf, dft.df
+FROM tf JOIN dft USING (token)
+""".strip()
+
+
+def lm_ngram_counts_sql(n: int = 3, min_count: int = 2) -> str:
+    """Oracle for the n-gram LM count table with KN continuation counts
+    (mirror of kgx.operators.indexing.lm_ngram_counts)."""
+    t = "list_filter(str_split(text, ' '), t -> t <> '')"
+    return f"""
+WITH grams AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len({t}) - {n - 2}),
+                                 i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))) AS gram
+    FROM documents
+),
+counts AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY 1 HAVING count(*) >= {min_count}
+),
+cont AS (
+    SELECT substring(gram, length(split_part(gram, ' ', 1)) + 2) AS suffix,
+           CAST(count(DISTINCT split_part(gram, ' ', 1)) AS BIGINT) AS continuation_count
+    FROM grams GROUP BY 1
+)
+SELECT c.gram, c.n_occurrences, c.n_docs,
+       substring(c.gram, length(split_part(c.gram, ' ', 1)) + 2) AS suffix,
+       ct.continuation_count
+FROM counts c
+JOIN cont ct ON ct.suffix = substring(c.gram, length(split_part(c.gram, ' ', 1)) + 2)
+""".strip()
