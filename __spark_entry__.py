@@ -246,6 +246,16 @@ def q_emb_kmeans(spark, sf_dir):
     return clustering.kmeans_assign(_embeddings(spark, sf_dir), k=8, rounds=2)
 
 
+def q_media_captions(spark, sf_dir):
+    """Interleaved caption mining: nearest text spans around each media span
+    (MMC4/OBELICS-style image-text pair extraction); window keyed on the
+    explicit span_pos — the north-rule span-order invariant."""
+    from kgx.operators import media, spans as spans_op
+
+    flat = spans_op.explode_spans(_spans(spark, sf_dir))
+    return media.media_caption_pairs(flat)
+
+
 def q_inverted_postings(spark, sf_dir):
     """Inverted token index (token, doc_id, tf, df) — retrieval-side
     companion to ANN; df cutoffs bound posting lists like the hot-shingle
@@ -1001,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "semdedup": q_semdedup,
         "inverted_postings": q_inverted_postings,
+        "media_captions": q_media_captions,
         "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
@@ -1075,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": oracles.emb_kmeans_sql(k=8, rounds=2),
         "semdedup": oracles.semdedup_sql(k=8, rounds=2, min_cosine=0.4),
         "inverted_postings": oracles.inverted_postings_sql(min_df=2, max_df=400),
+        "media_captions": oracles.media_caption_pairs_sql(),
         "lm_trigram_counts": oracles.lm_ngram_counts_sql(n=3, min_count=2),
         "seq_pack": oracles.seq_pack_sql(capacity=128, n_shards=8),
         "shard_manifest": oracles.shard_manifest_sql(n_shards=8),

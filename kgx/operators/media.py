@@ -208,3 +208,44 @@ def resize_media(
         .select("doc_id", "media_ref", "width", "height")
         .mapInPandas(_resize, schema=RESIZED_SCHEMA)
     )
+
+
+def media_caption_pairs(spans_flat: DataFrame) -> DataFrame:
+    """Caption mining over the interleaved span sequence (MMC4 / OBELICS
+    style): for every media span, the nearest non-empty TEXT spans on
+    either side in document order, plus the prefer-previous ``caption`` —
+    the (image, caption) pair extraction an interleaved multimodal corpus
+    feeds to image-text training.
+
+    Input: the flat span table (kgx.operators.spans.explode_spans —
+    doc_id, span_pos, kind, text, media_ref).  One shuffle: the per-doc
+    window partitioned by doc_id, ordered by the EXPLICIT span_pos (the
+    north-rule span-order invariant, never implicit row order).
+
+    Output: (doc_id, media_ref, span_pos, prev_text, next_text, caption).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("span_pos")
+    text_col = F.when(
+        (F.col("kind") == "text") & (F.length("text") > 0), F.col("text")
+    )
+    prev = F.last(text_col, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first(text_col, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        spans_flat.withColumn("prev_text", prev)
+        .withColumn("next_text", nxt)
+        .where(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            "media_ref",
+            F.col("span_pos").cast("int").alias("span_pos"),
+            "prev_text",
+            "next_text",
+            F.coalesce("prev_text", "next_text").alias("caption"),
+        )
+    )

@@ -2018,3 +2018,28 @@ SELECT c.gram, c.n_occurrences, c.n_docs,
 FROM counts c
 JOIN cont ct ON ct.suffix = substring(c.gram, length(split_part(c.gram, ' ', 1)) + 2)
 """.strip()
+
+
+def media_caption_pairs_sql() -> str:
+    """Oracle for interleaved caption mining (mirror of
+    kgx.operators.media.media_caption_pairs): nearest non-empty text spans
+    around each media span via IGNORE NULLS window edges over the same
+    span table the engine explodes."""
+    return f"""
+WITH sp_all AS ({spans_sql()}),
+enr AS (
+    SELECT doc_id, kind, media_ref, span_pos,
+           last_value(CASE WHEN kind = 'text' AND length(text) > 0 THEN text END
+                      IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY span_pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_text,
+           first_value(CASE WHEN kind = 'text' AND length(text) > 0 THEN text END
+                       IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY span_pos
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_text
+    FROM sp_all
+)
+SELECT doc_id, media_ref, span_pos, prev_text, next_text,
+       coalesce(prev_text, next_text) AS caption
+FROM enr WHERE kind = 'media'
+""".strip()

@@ -156,3 +156,36 @@ def test_resize_media_aspect_fit_never_upscales(spark):
     assert got["d.png"] == (64, 64)  # exact box
     rows = media.resize_media(inv, max_w=64, max_h=64, fake=True).collect()
     assert all(len(r["thumb"]) == 16 for r in rows)  # md5 fake payload
+
+
+def test_media_caption_pairs_nearest_text(spark):
+    """Media at doc start has only next_text; at doc end only prev_text;
+    empty text spans are never captions; adjacent media share neighbors."""
+    import pandas as pd
+
+    from kgx.operators.media import media_caption_pairs
+
+    flat = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # doc A: media first, then text, media, empty text, media
+                ("A", 0, "media", "", "m0"),
+                ("A", 1, "text", "a cat photo", ""),
+                ("A", 2, "media", "", "m1"),
+                ("A", 3, "text", "", ""),
+                ("A", 4, "media", "", "m2"),
+                # doc B: text only — no output rows
+                ("B", 0, "text", "hello", ""),
+            ],
+            columns=["doc_id", "span_pos", "kind", "text", "media_ref"],
+        )
+    )
+    rows = {r.media_ref: r for r in media_caption_pairs(flat).collect()}
+    assert set(rows) == {"m0", "m1", "m2"}
+    assert rows["m0"].prev_text is None
+    assert rows["m0"].next_text == "a cat photo"
+    assert rows["m0"].caption == "a cat photo"
+    assert rows["m1"].prev_text == "a cat photo"
+    assert rows["m1"].caption == "a cat photo"   # prefer-previous
+    assert rows["m2"].prev_text == "a cat photo"  # empty text span skipped
+    assert rows["m2"].next_text is None
