@@ -163,3 +163,27 @@ def test_semdedup_keepers_cover_every_cluster(spark, emb):
     keep_clusters = {r.cluster for r in out.where("NOT is_duplicate").collect()}
     all_clusters = {r.cluster for r in out.collect()}
     assert keep_clusters == all_clusters  # keep-first never empties a cluster
+
+
+def test_kmeans_k_exceeding_corpus_is_total(spark, emb):
+    """k larger than the vector count: every nonzero vector is its own
+    initial centroid; output still covers every vector exactly once."""
+    small = emb.where("vec_id < 20")
+    out = clustering.kmeans_assign(small, k=64, rounds=1).collect()
+    assert len(out) == 20
+    assert len({r.vec_id for r in out}) == 20
+
+
+def test_kmeans_ignores_zero_vectors(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [[1.0, 0.0], [0.0, 0.0], [0.5, 0.5]],
+            }
+        )
+    )
+    out = clustering.kmeans_assign(df, k=2, rounds=1).collect()
+    assert {r.vec_id for r in out} == {0, 2}  # the zero vector drops

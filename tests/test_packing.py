@@ -100,3 +100,23 @@ def test_with_shard_uniformity(spark, docs):
     counts = [r.n for r in packing.with_shard(docs, 8).groupBy("shard").agg(F.count("*").alias("n")).collect()]
     assert len(counts) == 8
     assert max(counts) <= 3 * min(counts)  # md5 spread, loose bound
+
+
+def test_seq_pack_degenerate_params(spark, docs):
+    """capacity=1 (every token its own sequence) and n_shards=1 (one global
+    shard) both satisfy the same conservation laws."""
+    one = packing.seq_pack(docs, capacity=1, n_shards=1).collect()
+    assert all(r.shard == 0 for r in one)
+    assert all(r.n_seqs == r.n_tokens for r in one)
+    total = sum(r.n_tokens for r in one)
+    assert max(r.last_seq for r in one) == total - 1
+
+
+def test_token_mix_single_source_keeps_everything(spark, docs):
+    from pyspark.sql import functions as F
+
+    solo = docs.withColumn("source", F.lit("only"))
+    rows = packing.token_mix_plan(solo).collect()
+    assert len(rows) == 1
+    assert rows[0].rate_bp == 10000
+    assert rows[0].sampled_docs == rows[0].n_docs
