@@ -246,6 +246,18 @@ def q_emb_kmeans(spark, sf_dir):
     return clustering.kmeans_assign(_embeddings(spark, sf_dir), k=8, rounds=2)
 
 
+def q_seq_pack_interleaved(spark, sf_dir):
+    """Multimodal sequence packing over the interleaved span table: media
+    spans cost a fixed vision-encoder token budget (576 = 24x24 patches);
+    per-doc cost from the span array with zero explode, then the per-shard
+    packing window."""
+    from kgx.operators import packing
+
+    return packing.seq_pack_interleaved(
+        _spans(spark, sf_dir), capacity=4096, n_shards=8, media_token_cost=576
+    )
+
+
 def q_media_captions(spark, sf_dir):
     """Interleaved caption mining: nearest text spans around each media span
     (MMC4/OBELICS-style image-text pair extraction); window keyed on the
@@ -1012,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "inverted_postings": q_inverted_postings,
         "media_captions": q_media_captions,
+        "seq_pack_interleaved": q_seq_pack_interleaved,
         "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
@@ -1087,6 +1100,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": oracles.semdedup_sql(k=8, rounds=2, min_cosine=0.4),
         "inverted_postings": oracles.inverted_postings_sql(min_df=2, max_df=400),
         "media_captions": oracles.media_caption_pairs_sql(),
+        "seq_pack_interleaved": oracles.seq_pack_interleaved_sql(
+            capacity=4096, n_shards=8, media_token_cost=576
+        ),
         "lm_trigram_counts": oracles.lm_ngram_counts_sql(n=3, min_count=2),
         "seq_pack": oracles.seq_pack_sql(capacity=128, n_shards=8),
         "shard_manifest": oracles.shard_manifest_sql(n_shards=8),

@@ -178,3 +178,62 @@ def token_mix_plan(docs: DataFrame) -> DataFrame:
             F.coalesce("sampled_tokens", F.lit(0)).cast("long").alias("sampled_tokens"),
         )
     )
+
+
+def seq_pack_interleaved(
+    docs_spans: DataFrame,
+    capacity: int = 4096,
+    n_shards: int = 8,
+    media_token_cost: int = 576,
+) -> DataFrame:
+    """Concat-then-chunk packing for INTERLEAVED multimodal documents.
+
+    A multimodal training sequence budgets text by tokenizer tokens and each
+    media span by its fixed vision-encoder cost (``media_token_cost``, e.g.
+    a 24×24-patch image = 576 embeddings).  Per document the cost is
+    computed from the span array with higher-order functions — no explode,
+    zero shuffle until the per-shard packing window (same machinery as
+    :func:`seq_pack`).
+
+    Output: (doc_id, shard, text_tokens, media_spans, cost, start_tok,
+    first_seq, last_seq, n_seqs).
+    """
+    text_toks = (
+        "aggregate(spans, cast(0 as bigint), (acc, s) -> acc + "
+        "(CASE WHEN s.kind = 'text' THEN "
+        "size(filter(split(s.text, ' '), t -> t != '')) ELSE 0 END))"
+    )
+    media_n = "size(filter(spans, s -> s.kind = 'media'))"
+    costed = docs_spans.selectExpr(
+        "doc_id",
+        f"cast({spark_md5_60('cast(doc_id as string)')} % {n_shards} as bigint) AS shard",
+        f"cast({text_toks} as bigint) AS text_tokens",
+        f"cast({media_n} as bigint) AS media_spans",
+    ).selectExpr(
+        "doc_id",
+        "shard",
+        "text_tokens",
+        "media_spans",
+        f"text_tokens + {media_token_cost} * media_spans AS cost",
+    ).where(F.col("cost") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = costed.withColumn("cum", F.sum("cost").over(w))
+    return t.select(
+        "doc_id",
+        "shard",
+        "text_tokens",
+        "media_spans",
+        "cost",
+        (F.col("cum") - F.col("cost")).alias("start_tok"),
+        F.expr(f"(cum - cost) DIV {capacity}").alias("first_seq"),
+        F.expr(f"(cum - 1) DIV {capacity}").alias("last_seq"),
+        (
+            F.expr(f"(cum - 1) DIV {capacity}")
+            - F.expr(f"(cum - cost) DIV {capacity}")
+            + F.lit(1)
+        ).cast("long").alias("n_seqs"),
+    )

@@ -2043,3 +2043,43 @@ SELECT doc_id, media_ref, span_pos, prev_text, next_text,
        coalesce(prev_text, next_text) AS caption
 FROM enr WHERE kind = 'media'
 """.strip()
+
+
+def seq_pack_interleaved_sql(
+    capacity: int = 4096, n_shards: int = 8, media_token_cost: int = 576
+) -> str:
+    """Oracle for multimodal sequence packing (mirror of
+    kgx.operators.packing.seq_pack_interleaved): per-doc cost = text tokens
+    + media spans x vision-encoder cost, then the same per-shard
+    running-sum chunking as seq_pack_sql."""
+    h = _duck_md5_60("cast(doc_id as varchar)")
+    return f"""
+WITH sp_all AS ({spans_sql()}),
+doc_cost AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN kind = 'text'
+                    THEN len(list_filter(str_split(text, ' '), t -> t <> ''))
+                    ELSE 0 END) AS BIGINT) AS text_tokens,
+           CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS media_spans
+    FROM sp_all GROUP BY 1
+),
+costed AS (
+    SELECT doc_id,
+           CAST({h} % {n_shards} AS BIGINT) AS shard,
+           text_tokens, media_spans,
+           text_tokens + {media_token_cost} * media_spans AS cost
+    FROM doc_cost
+    WHERE text_tokens + {media_token_cost} * media_spans > 0
+),
+cum AS (
+    SELECT *, sum(cost) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM costed
+)
+SELECT doc_id, shard, text_tokens, media_spans, cost,
+       CAST(c - cost AS BIGINT) AS start_tok,
+       CAST((c - cost) // {capacity} AS BIGINT) AS first_seq,
+       CAST((c - 1) // {capacity} AS BIGINT) AS last_seq,
+       CAST((c - 1) // {capacity} - (c - cost) // {capacity} + 1 AS BIGINT) AS n_seqs
+FROM cum
+""".strip()
