@@ -268,6 +268,17 @@ def q_media_captions(spark, sf_dir):
     return media.media_caption_pairs(flat)
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register sketch of distinct event ids — engine-neutral
+    md5-60 hashing + bin()-based leading-zero rank, so the register table
+    (the mergeable state a 100 TB job stores) is oracle-replayable; shuffle
+    carries <= partitions x m pre-combined rows."""
+    from kgx.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.hll_registers(ev, "cast(event_id as string)", m=64)
+
+
 def q_inverted_postings(spark, sf_dir):
     """Inverted token index (token, doc_id, tf, df) — retrieval-side
     companion to ANN; df cutoffs bound posting lists like the hot-shingle
@@ -1025,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "media_captions": q_media_captions,
         "seq_pack_interleaved": q_seq_pack_interleaved,
+        "hll_registers": q_hll_registers,
         "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
@@ -1103,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_interleaved": oracles.seq_pack_interleaved_sql(
             capacity=4096, n_shards=8, media_token_cost=576
         ),
+        "hll_registers": oracles.hll_registers_sql(m=64),
         "lm_trigram_counts": oracles.lm_ngram_counts_sql(n=3, min_count=2),
         "seq_pack": oracles.seq_pack_sql(capacity=128, n_shards=8),
         "shard_manifest": oracles.shard_manifest_sql(n_shards=8),

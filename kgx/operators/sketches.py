@@ -1,0 +1,76 @@
+"""Mergeable cardinality sketches — deterministic HyperLogLog registers.
+
+Distinct-count sketching is the canonical "custom operator Spark lacks as a
+composable primitive" (approx_count_distinct exists but its HLL++ state is
+opaque JVM internals — not mergeable across engines, not replayable by an
+oracle).  This module builds the REGISTER TABLE itself with engine-neutral
+arithmetic, which is what a 100 TB pipeline actually stores and merges:
+
+- hash: md5-60 (kgx.functions.hashing) — identical in Spark and DuckDB;
+- bucket: low ``log2(m)`` bits; rho: leading-zero rank of the remaining
+  bits, computed via ``length(bin(x))`` (same semantics both engines,
+  parity-pinned in tests);
+- register: ``max(rho)`` per bucket — a fully MERGEABLE aggregate: the
+  sketch of a union is the element-wise max of the parts' sketches (the
+  shard-manifest checksum stance applied to cardinality).
+
+The float ESTIMATOR stays out of the oracle-checked surface (its power-sum
+is order-sensitive by nature); :func:`estimate_cardinality` applies the
+standard HLL formula with small-range correction driver-side over the
+m-row register table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgx.functions.hashing import spark_md5_60
+
+#: md5-60 hashes carry 60 usable bits.
+HASH_BITS = 60
+
+
+def hll_registers(df: DataFrame, col_expr: str, m: int = 64) -> DataFrame:
+    """(any rows) → (bucket, max_rho): the m-register HLL sketch of the
+    distinct values of ``col_expr``.
+
+    One map-side-combined groupBy over m keys — the shuffle carries at most
+    ``partitions × m`` pre-combined rows regardless of corpus size, and the
+    output is m tiny rows an incremental job can merge with element-wise
+    ``max`` (see tests/test_sketches.py merge law).
+    """
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    b = m.bit_length() - 1
+    w = HASH_BITS - b
+    h = spark_md5_60(col_expr)
+    return (
+        df.selectExpr(
+            f"cast({h} % {m} as bigint) AS bucket",
+            f"cast({h} DIV {m} as bigint) AS rest",
+        )
+        .selectExpr(
+            "bucket",
+            f"cast(CASE WHEN rest = 0 THEN {w + 1} "
+            f"ELSE {w} - length(bin(rest)) + 1 END as bigint) AS rho",
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def estimate_cardinality(registers: list[tuple[int, int]], m: int = 64) -> float:
+    """Standard HLL estimate with small-range (linear counting) correction.
+    ``registers`` = collected (bucket, max_rho) rows; absent buckets count
+    as zero registers."""
+    filled = {int(b): int(r) for b, r in registers}
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    power_sum = sum(2.0 ** -filled.get(j, 0) for j in range(m))
+    est = alpha * m * m / power_sum
+    zeros = sum(1 for j in range(m) if filled.get(j, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est

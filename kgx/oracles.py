@@ -2083,3 +2083,28 @@ SELECT doc_id, shard, text_tokens, media_spans, cost,
        CAST((c - 1) // {capacity} - (c - cost) // {capacity} + 1 AS BIGINT) AS n_seqs
 FROM cum
 """.strip()
+
+
+def hll_registers_sql(col_expr: str = "cast(event_id as varchar)", m: int = 64,
+                      table: str = "events") -> str:
+    """Oracle for the HLL register sketch (mirror of
+    kgx.operators.sketches.hll_registers): same md5-60 hash, same
+    length(bin(x)) leading-zero rank — registers match bit-for-bit."""
+    b = m.bit_length() - 1
+    w = 60 - b
+    h = _duck_md5_60(col_expr)
+    return f"""
+WITH hashed AS (
+    SELECT CAST({h} % {m} AS BIGINT) AS bucket,
+           CAST({h} // {m} AS BIGINT) AS rest
+    FROM {table}
+),
+rhod AS (
+    SELECT bucket,
+           CAST(CASE WHEN rest = 0 THEN {w + 1}
+                ELSE {w} - length(bin(rest)) + 1 END AS BIGINT) AS rho
+    FROM hashed
+)
+SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho
+FROM rhod GROUP BY bucket
+""".strip()
