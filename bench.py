@@ -23,11 +23,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _busy(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return x
+
+
+def _cpu_probe() -> dict:
+    """Single-core and 8-way busy-loop walls (seconds) — quiet-host
+    reference ~0.8 s each; degraded windows read 1.2-4x that."""
+    import multiprocessing as mp
+    import time as _t
+
+    out = {}
+    for n in (1, 8):
+        with mp.Pool(n) as p:
+            t0 = _t.time()
+            p.map(_busy, range(n))
+            out[f"busyloop_{n}way_sec"] = round(_t.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate_factor = int(os.environ.get("KGX_BENCH_REPLICATE", "8"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # host-retention probe: this VM's deliverable CPU swings 1.5-5x between
+    # minutes (BENCH/BASELINE.md methodology) — recording a no-Spark busy
+    # loop next to the timings lets any reader normalize a noisy draw
+    probe = _cpu_probe()
 
     from kgx.session import get_spark
 
@@ -169,6 +196,7 @@ def main() -> None:
                     "triples_per_sec": round(triples_per_sec, 1),
                     "replicate_factor": replicate_factor,
                     "cpus": cpus,
+                    "host_probe": probe,
                 }
             )
         )
