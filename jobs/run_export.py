@@ -39,8 +39,6 @@ def main(argv=None) -> int:
     p.add_argument("--master", default=None, help="override (sandbox runs)")
     args = p.parse_args(argv)
 
-    from pyspark.sql import functions as F
-
     from kgx.operators import packing
     from kgx.session import get_spark
 
