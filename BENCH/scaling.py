@@ -350,6 +350,12 @@ docs/s on this host as of round 1).  The full pipeline above sustains
 {best8:,.0f} triples/s on 8 pinned cores including all four table
 materializations, and scales out by partition count.
 """
+    # hand-written sections (query-suite throughput notes etc.) live in
+    # BASELINE_extra.md so regenerating the measured part never wipes them
+    extra_path = os.path.join(REPO, "BENCH", "BASELINE_extra.md")
+    if os.path.exists(extra_path):
+        with open(extra_path) as ef:
+            md += "\n" + ef.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
 
