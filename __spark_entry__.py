@@ -209,10 +209,15 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """64-bit SimHash fingerprints, banded candidates, Hamming <= 3."""
+    """64-bit SimHash fingerprints, banded candidates, Hamming <= 3, with
+    the band-bucket skew guard ON (``max_bucket=200``, mirroring the MinHash
+    guard): a boilerplate cluster can no longer enumerate O(B²) rows in one
+    15-bit bucket.  The driver corpus' largest band bucket is far below the
+    cap, so the guard is semantics-neutral here — the oracle applies the
+    identical cutoff."""
     from kgx.operators import dedup
 
-    return dedup.simhash_pairs(_documents(spark, sf_dir))
+    return dedup.simhash_pairs(_documents(spark, sf_dir), max_bucket=200)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -274,8 +279,9 @@ def q_hll_registers(spark, sf_dir):
     (the mergeable state a 100 TB job stores) is oracle-replayable; shuffle
     carries <= partitions x m pre-combined rows."""
     from kgx.operators import sketches
+    from kgx.sources.docs import spread_small_scan
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spread_small_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
     return sketches.hll_registers(ev, "cast(event_id as string)", m=64)
 
 

@@ -110,10 +110,7 @@ def main() -> None:
         for name in headline:
             qs[name](spark, warm_dir).count()
         clear_funnel_cache()
-        try:
-            entrymod.clear_graph_cache()
-        except AttributeError:
-            pass
+        entrymod.clear_graph_cache()
     t_all = time.time()
     for name in headline:
         t0 = time.time()

@@ -71,10 +71,17 @@ def main(argv=None) -> int:
             r["shard"]: {"docs": r["n_docs"], "tokens": r["n_tokens"]}
             for r in spark.read.parquet(f"{args.out}/manifest").collect()
         }
+        # with_shard drops 0-token docs by contract (nothing to pack) —
+        # count them so the export summary audits the gap between the
+        # curated input and what landed in shards/manifests.
+        n_input = docs.count()
+        n_sharded = sum(m["docs"] for m in manifest.values())
         print(json.dumps({
             "shards": len(manifest),
-            "docs": sum(m["docs"] for m in manifest.values()),
+            "docs": n_sharded,
             "tokens": sum(m["tokens"] for m in manifest.values()),
+            "input_docs": n_input,
+            "dropped_empty_docs": n_input - n_sharded,
         }))
         return 0
     finally:

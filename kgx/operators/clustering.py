@@ -137,7 +137,17 @@ def semdedup(
     per cluster too (keeping one point per ball); keep-first-by-id is the
     deterministic, engine-replayable variant of that choice.
     """
-    assigns = kmeans_assign(embeddings, k, rounds).select("vec_id", "cluster")
+    # materialize the k-means result once: the within-cluster pair join
+    # consumes it three times (the assigns left-join plus both x/y sides),
+    # and without a cut each consumer re-runs the full Lloyd's iteration
+    # chain.  localCheckpoint (the linking.connected_components stance) both
+    # truncates the deep per-round lineage and caches the tiny
+    # (vec_id, cluster) table.
+    assigns = (
+        kmeans_assign(embeddings, k, rounds)
+        .select("vec_id", "cluster")
+        .localCheckpoint()
+    )
     base = quantized(embeddings).where(F.col("nrm") > 0)
     vb = assigns.join(base, "vec_id")
     x = vb.select(

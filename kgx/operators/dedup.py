@@ -363,11 +363,33 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 3, max_bucket: int = 200
+) -> DataFrame:
     """Near-dup pairs by SimHash: 4×15-bit band buckets (Hamming ≤ 3 over 60
     bits ⇒ pigeonhole: some band identical), verified by bit_count(xor).
 
-    Output: (doc_a, doc_b, hamming int)."""
+    Output: (doc_a, doc_b, hamming int).
+
+    ``max_bucket`` is the same LSH skew guard as
+    :func:`minhash_lsh_pairs`: a band bucket holding more than that many
+    documents is a low-information collision whose within-bucket pair count
+    grows QUADRATICALLY — a boilerplate cluster of B near-identical docs
+    would otherwise enumerate O(B²) joined rows in one 15-bit bucket.  The
+    bucket is dropped before pair enumeration; genuinely-similar-but-not-
+    boilerplate pairs still collide in their other 3 discriminative bands.
+    (A >max_bucket cluster of near-IDENTICAL docs floods all 4 of its bands
+    and loses its internal pairs — the accepted guard trade, identical to
+    the MinHash twin; use :func:`exact_groups` first, which removes
+    byte-identical floods for one cheap hash shuffle.)
+
+    Plan shape (round 3, mirroring the round-2 MinHash rework): one
+    groupBy(band, band_bits) + collect_list whose in-bucket pairs are
+    enumerated with array higher-order functions — bounded by
+    ``max_bucket``² per bucket — replacing the uncapped band self-join.
+    The bucket rows carry (doc_id, simhash) structs so the Hamming verify
+    needs no join back to the fingerprint table.
+    """
     fp = simhash_fingerprints(documents)
     banded = fp.select(
         "doc_id",
@@ -378,19 +400,27 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("band", "band_bits"),
     )
-    x, y = banded.alias("x"), banded.alias("y")
+    buckets = (
+        banded.groupBy("band", "band_bits")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_bits") == F.col("y.band_bits"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> "
+                    "named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, "
+                    "'hamming', cast(bit_count(x.simhash ^ y.simhash) as int)))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.expr("cast(bit_count(x.simhash ^ y.simhash) as int)").alias("hamming"),
-        )
-        .distinct()
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -51,7 +51,15 @@ def _tok_expr() -> str:
 
 def with_shard(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     """(doc_id, text, ...) → + (shard, n_tokens).  Shard is the md5-60 hash
-    of the doc_id — uniform, deterministic, replayable by any engine."""
+    of the doc_id — uniform, deterministic, replayable by any engine.
+
+    CONTRACT: documents with zero whitespace tokens are EXCLUDED (they
+    contribute nothing to a token-packed training sequence, and a 0-token
+    doc would corrupt the ``first_seq``/``last_seq`` arithmetic in
+    :func:`seq_pack`).  Callers exporting a corpus must audit the drop —
+    jobs/run_export.py counts and reports ``dropped_empty_docs`` in its
+    summary JSON so a curated whitespace-only document can never vanish
+    silently."""
     return docs.selectExpr(
         "doc_id",
         f"cast({spark_md5_60('cast(doc_id as string)')} % {n_shards} as bigint) AS shard",

@@ -455,7 +455,10 @@ FROM mh_pairs WHERE jaccard >= {min_jaccard}
 """.strip()
 
 
-def dedup_simhash_sql(max_hamming: int = 3) -> str:
+def dedup_simhash_sql(max_hamming: int = 3, max_bucket: int = 200) -> str:
+    """``max_bucket`` mirrors the engine's LSH skew guard
+    (kgx.operators.dedup.simhash_pairs): band buckets holding more than
+    ``max_bucket`` docs are dropped before pair enumeration."""
     return f"""
 WITH tok AS (
     SELECT doc_id, {_duck_md5_60('token')} AS th
@@ -474,15 +477,24 @@ fp AS (
            CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS simhash
     FROM votes GROUP BY 1
 ),
-banded AS (
+banded AS MATERIALIZED (
     SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_bits
     FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+),
+bsize AS (
+    SELECT band, band_bits, count(*) AS n
+    FROM banded GROUP BY 1, 2
+),
+ok AS (
+    SELECT b.* FROM banded b
+    JOIN bsize s USING (band, band_bits)
+    WHERE s.n BETWEEN 2 AND {max_bucket}
 )
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-FROM banded x
-JOIN banded y ON x.band = y.band AND x.band_bits = y.band_bits
-             AND x.doc_id < y.doc_id
+FROM ok x
+JOIN ok y ON x.band = y.band AND x.band_bits = y.band_bits
+         AND x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """.strip()
 

@@ -106,6 +106,28 @@ def test_simhash_identical_and_disjoint(spark):
     assert (0, 2) not in pairs or pairs[(0, 2)] > 3
 
 
+def test_simhash_band_bucket_guard_collapses_boilerplate(spark):
+    """Web-corpus shape for the SimHash path: a cluster of 30 identical
+    boilerplate docs floods a 15-bit band bucket, so the uncapped
+    enumeration materializes all 435 within-cluster pairs (quadratic in
+    cluster size).  With the guard, those buckets are dropped while a
+    genuine duplicate pair in a small bucket survives untouched."""
+    boiler = "subscribe to our newsletter for daily updates and offers today"
+    texts = [boiler] * 30 + [BASE, BASE]
+    df = _docs(spark, texts)
+
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(df, max_bucket=10**9).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(df, max_bucket=10).collect()
+    }
+    assert len(unguarded) == 30 * 29 // 2 + 1  # quadratic blowup + real pair
+    assert guarded == {(30, 31)}  # guard kills the flood, keeps the real dup
+
+
 def test_short_docs_produce_no_shingles(spark):
     df = _docs(spark, ["one two", "x", ""])
     assert dedup.shingle_table(df, n=3).count() == 0
