@@ -232,14 +232,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN: nprobe cells per query, exact rerank inside."""
     from kgx.operators import similarity
 
-    return similarity.ivf_topk(_embeddings(spark, sf_dir))
+    return similarity.ivf_topk(_embeddings(spark, sf_dir), target_cell_size=32)
 
 
 def q_emb_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs above a floor."""
     from kgx.operators import similarity
 
-    return similarity.embedding_near_dup_pairs(_embeddings(spark, sf_dir))
+    return similarity.embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), target_cell_size=32
+    )
 
 
 def q_emb_kmeans(spark, sf_dir):
@@ -248,7 +250,9 @@ def q_emb_kmeans(spark, sf_dir):
     posexplode update — shuffle per round is partitions x k x dim rows)."""
     from kgx.operators import clustering
 
-    return clustering.kmeans_assign(_embeddings(spark, sf_dir), k=8, rounds=2)
+    return clustering.kmeans_assign(
+        _embeddings(spark, sf_dir), rounds=2, target_cluster_size=64
+    )
 
 
 def q_seq_pack_interleaved(spark, sf_dir):
@@ -307,7 +311,10 @@ def q_semdedup(spark, sf_dir):
     clusters stay bounded at corpus scale)."""
     from kgx.operators import clustering
 
-    return clustering.semdedup(_embeddings(spark, sf_dir), k=8, rounds=2, min_cosine=0.4)
+    return clustering.semdedup(
+        _embeddings(spark, sf_dir), rounds=2, min_cosine=0.4,
+        target_cluster_size=64,
+    )
 
 
 def q_seq_pack(spark, sf_dir):
@@ -1068,8 +1075,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracles.dedup_clusters_sql(),
         "dedup_simhash_pairs": oracles.dedup_simhash_sql(),
         "ann_topk": oracles.ann_topk_sql(),
-        "ann_ivf_topk": oracles.ann_ivf_sql(),
-        "emb_near_dup_pairs": oracles.emb_near_dup_sql(),
+        "ann_ivf_topk": oracles.ann_ivf_sql(target_cell_size=32),
+        "emb_near_dup_pairs": oracles.emb_near_dup_sql(target_cell_size=32),
         "text_stats": oracles.text_stats_sql(),
         "quality_filter": oracles.quality_filter_sql(min_tokens=20),
         "token_counts": oracles.token_counts_sql(),
@@ -1114,8 +1121,10 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_fake": oracles.media_decode_sql(),
         "media_frames": oracles.media_frames_sql(),
         "media_resize": oracles.media_resize_sql(),
-        "emb_kmeans": oracles.emb_kmeans_sql(k=8, rounds=2),
-        "semdedup": oracles.semdedup_sql(k=8, rounds=2, min_cosine=0.4),
+        "emb_kmeans": oracles.emb_kmeans_sql(rounds=2, target_cluster_size=64),
+        "semdedup": oracles.semdedup_sql(
+            rounds=2, min_cosine=0.4, target_cluster_size=64
+        ),
         "inverted_postings": oracles.inverted_postings_sql(min_df=2, max_df=400),
         "media_captions": oracles.media_caption_pairs_sql(),
         "seq_pack_interleaved": oracles.seq_pack_interleaved_sql(

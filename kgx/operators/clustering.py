@@ -90,7 +90,12 @@ def _update(assigned: DataFrame) -> DataFrame:
     return cents
 
 
-def kmeans_assign(embeddings: DataFrame, k: int = 8, rounds: int = 2) -> DataFrame:
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    target_cluster_size: int | None = None,
+) -> DataFrame:
     """Lloyd's k-means over ``(vec_id, embedding array<float>)``.
 
     ``rounds`` centroid-update iterations (init → [assign → update] ×
@@ -98,7 +103,15 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, rounds: int = 2) -> DataFra
     cluster per vector and the exact quantized cosine to its final centroid.
     Empty clusters drop out (their centroid table row disappears), matching
     classic Lloyd behavior.
+
+    ``target_cluster_size`` auto-sizes ``k = ceil(N / target)``
+    (similarity.auto_centroids) — the k ∝ N contract that keeps
+    within-cluster work (SemDeDup's pair join) linear in corpus size.
     """
+    if target_cluster_size is not None:
+        from kgx.operators.similarity import auto_centroids
+
+        k = auto_centroids(embeddings, target_cluster_size)
     base = quantized(embeddings).where(F.col("nrm") > 0)
     cents = base.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"),
@@ -118,7 +131,11 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, rounds: int = 2) -> DataFra
 
 
 def semdedup(
-    embeddings: DataFrame, k: int = 8, rounds: int = 2, min_cosine: float = 0.5
+    embeddings: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    min_cosine: float = 0.5,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup via k-means bucketing.
 
@@ -133,10 +150,16 @@ def semdedup(
     Scale stance: within-cluster comparison is the SemDeDup design — k is
     sized so clusters hold ~1k-100k points at corpus scale (k ∝ N), keeping
     the per-cluster pair join bounded; the cluster equi-join is the only
-    shuffle beyond k-means itself.  The paper resolves ε-balls greedily
+    shuffle beyond k-means itself.  ``target_cluster_size`` COMPUTES that
+    sizing (k = ceil(N / target), similarity.auto_centroids) instead of
+    leaving it to the caller.  The paper resolves ε-balls greedily
     per cluster too (keeping one point per ball); keep-first-by-id is the
     deterministic, engine-replayable variant of that choice.
     """
+    if target_cluster_size is not None:
+        from kgx.operators.similarity import auto_centroids
+
+        k = auto_centroids(embeddings, target_cluster_size)
     # materialize the k-means result once: the within-cluster pair join
     # consumes it three times (the assigns left-join plus both x/y sides),
     # and without a cut each consumer re-runs the full Lloyd's iteration

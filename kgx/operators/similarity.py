@@ -80,14 +80,38 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFr
     )
 
 
+def auto_centroids(embeddings: DataFrame, target_cell_size: int) -> int:
+    """Derive the centroid/cluster count from a TARGET CELL SIZE:
+    ``k = ceil(N / target_cell_size)`` (exact integer arithmetic, min 1).
+
+    This is the scale contract for the whole embedding family: same-cell
+    pair enumeration costs O(sum of cell²) = O(N · cell_size), so holding
+    cell size constant while k grows ∝ N keeps candidate generation LINEAR
+    in corpus size — a fixed k would make it O(N²/k), quadratic at 100×.
+    The count is a driver-side metadata action (one scalar); the DuckDB
+    oracles replay the identical formula as a scalar subquery
+    (kgx.oracles._auto_k_expr), so derived-k results stay hash-identical
+    across engines at any sf."""
+    n = embeddings.count()
+    return max(1, (n + target_cell_size - 1) // target_cell_size)
+
+
 def assign_cells(
-    embeddings: DataFrame, n_centroids: int = 16, n_assign: int = 1
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_assign: int = 1,
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """IVF cell assignment: centroid = argmax integer dot (ties → min id).
     Centroids are the first ``n_centroids`` vectors — deterministic without
     an iterative k-means (at 100 TB you'd train centroids offline and
     broadcast them the same way).  ``n_assign > 1`` indexes each vector into
-    its top-N cells (multi-probe indexing for the near-dup candidate join)."""
+    its top-N cells (multi-probe indexing for the near-dup candidate join).
+    ``target_cell_size`` overrides ``n_centroids`` with the auto-sized
+    ``ceil(N / target)`` (:func:`auto_centroids`) so cells stay bounded as
+    the corpus grows."""
+    if target_cell_size is not None:
+        n_centroids = auto_centroids(embeddings, target_cell_size)
     from pyspark.sql.window import Window
 
     base = quantized(embeddings).where(F.col("nrm") > 0)
@@ -113,11 +137,16 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """IVF search: each query probes its ``nprobe`` best cells, exact rerank
-    inside.  Output schema identical to :func:`cosine_topk`."""
+    inside.  Output schema identical to :func:`cosine_topk`.
+    ``target_cell_size`` auto-sizes the cell count (:func:`auto_centroids`)
+    so per-probe rerank work stays bounded as the corpus grows."""
     from pyspark.sql.window import Window
 
+    if target_cell_size is not None:
+        n_centroids = auto_centroids(embeddings, target_cell_size)
     cells = assign_cells(embeddings, n_centroids)
     base = quantized(embeddings).where(F.col("nrm") > 0)
     cents = base.where(F.col("vec_id") < n_centroids).select(
@@ -162,6 +191,7 @@ def embedding_near_dup_pairs(
     min_cosine: float = 0.2,
     n_centroids: int = 16,
     n_assign: int = 2,
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """Cell-bucketed embedding near-duplicate pairs above a cosine floor.
 
@@ -179,7 +209,14 @@ def embedding_near_dup_pairs(
     restricted to cell-cohabiting candidates.  The exact all-pairs variant
     survives as :func:`embedding_near_dup_pairs_exact` — the recall oracle in
     tests, not a scale path.
+
+    ``target_cell_size`` auto-sizes ``n_centroids`` (:func:`auto_centroids`)
+    — the k ∝ N sizing the docstring above REQUIRES is then computed, not
+    left to the caller; candidate-pair count stays ~linear in corpus size
+    (asserted across two corpus sizes in tests/test_similarity_media.py).
     """
+    if target_cell_size is not None:
+        n_centroids = auto_centroids(embeddings, target_cell_size)
     idx = assign_cells(embeddings, n_centroids, n_assign).select("vec_id", "cell")
     x, y = idx.alias("x"), idx.alias("y")
     cands = (

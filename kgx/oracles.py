@@ -543,7 +543,15 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
-def ann_ivf_sql(n_queries: int = 8, k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+def ann_ivf_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int | str = 16,
+    nprobe: int = 4,
+    target_cell_size: int | None = None,
+) -> str:
+    if target_cell_size:
+        n_centroids = _auto_k_expr(target_cell_size)
     cdot_v = _DUCK_DOT.format(a="base.q", b="c.q")
     cdot_q = _DUCK_DOT.format(a="qs.q", b="c.q")
     dot = _DUCK_DOT.format(a="pr.qq", b="cells.q")
@@ -582,12 +590,18 @@ FROM ranked WHERE rank <= {k}
 
 
 def emb_near_dup_sql(
-    min_cosine: float = 0.2, n_centroids: int = 16, n_assign: int = 2
+    min_cosine: float = 0.2,
+    n_centroids: int | str = 16,
+    n_assign: int = 2,
+    target_cell_size: int | None = None,
 ) -> str:
     """Oracle for cell-bucketed embedding near-dup pairs: each vector indexed
     into its top-``n_assign`` IVF cells, candidates = cell-cohabiting pairs,
     verified with the exact quantized cosine (mirror of
-    kgx.operators.similarity.embedding_near_dup_pairs)."""
+    kgx.operators.similarity.embedding_near_dup_pairs).
+    ``target_cell_size`` auto-sizes the cell count via :func:`_auto_k_expr`."""
+    if target_cell_size:
+        n_centroids = _auto_k_expr(target_cell_size)
     cdot = _DUCK_DOT.format(a="base.q", b="c.q")
     dot = _DUCK_DOT.format(a="a.q", b="b.q")
     return f"""
@@ -1781,7 +1795,16 @@ FROM deg LEFT JOIN pn USING (label)
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_ctes(k: int = 8, rounds: int = 2) -> str:
+def _auto_k_expr(target_cell_size: int) -> str:
+    """DuckDB twin of kgx.operators.similarity.auto_centroids: the derived
+    centroid/cluster count ``max(1, ceil(N / target))`` as a scalar subquery
+    in exact integer arithmetic, so Spark's driver-side count and the
+    oracle's in-plan count give the identical k at ANY sf."""
+    t = int(target_cell_size)
+    return f"(SELECT greatest(1, (count(*) + {t - 1}) // {t}) FROM embeddings)"
+
+
+def _kmeans_ctes(k: int | str = 8, rounds: int = 2) -> str:
     """Shared CTE chain for the unrolled integer Lloyd's k-means: ends with
     ``fin`` (vec_id, cluster, dot, qnrm, vnrm, rn) — final assignment is
     ``rn = 1``."""
@@ -1831,30 +1854,42 @@ fin AS (
     return ",\n".join(ctes)
 
 
-def emb_kmeans_sql(k: int = 8, rounds: int = 2) -> str:
+def emb_kmeans_sql(
+    k: int = 8, rounds: int = 2, target_cluster_size: int | None = None
+) -> str:
     """Oracle for integer-arithmetic Lloyd's k-means (mirror of
     kgx.operators.clustering.kmeans_assign).  Rounds are UNROLLED into
     chained CTEs (the graph_pagerank_sql stance); centroid means use
     DuckDB ``//`` == Spark ``DIV`` toward-zero truncation; the argmax
     ranking double ``dot / sqrt(cnrm)`` is correctly-rounded IEEE on exact
-    integer inputs, so assignments match Spark bit-for-bit."""
+    integer inputs, so assignments match Spark bit-for-bit.
+    ``target_cluster_size`` switches k to the auto-sized scalar subquery
+    (:func:`_auto_k_expr`), mirroring the engine's k ∝ N sizing."""
+    ke = _auto_k_expr(target_cluster_size) if target_cluster_size else k
     return f"""
-WITH {_kmeans_ctes(k, rounds)}
+WITH {_kmeans_ctes(ke, rounds)}
 SELECT vec_id, cluster, {_DUCK_COS} AS cosine FROM fin WHERE rn = 1
 """.strip()
 
 
-def semdedup_sql(k: int = 8, rounds: int = 2, min_cosine: float = 0.5) -> str:
+def semdedup_sql(
+    k: int = 8,
+    rounds: int = 2,
+    min_cosine: float = 0.5,
+    target_cluster_size: int | None = None,
+) -> str:
     """Oracle for SemDeDup-style within-cluster semantic dedup (mirror of
     kgx.operators.clustering.semdedup): k-means buckets, within-cluster
     exact quantized cosine, keep-first (drop a vector iff a smaller-id
-    cluster-mate sits within the cosine ball)."""
+    cluster-mate sits within the cosine ball).  ``target_cluster_size``
+    auto-sizes k via :func:`_auto_k_expr`."""
+    ke = _auto_k_expr(target_cluster_size) if target_cluster_size else k
     dot = _DUCK_DOT.format(a="x.q", b="y.q")
     cos = (
         f"CAST({dot} AS DOUBLE) / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE)))"
     )
     return f"""
-WITH {_kmeans_ctes(k, rounds)},
+WITH {_kmeans_ctes(ke, rounds)},
 asg AS (SELECT vec_id, cluster FROM fin WHERE rn = 1),
 vb AS (SELECT a.vec_id, a.cluster, base.q, base.nrm
        FROM asg a JOIN base USING (vec_id)),

@@ -81,6 +81,50 @@ def test_near_dup_pairs_no_cartesian_and_recall(spark, emb):
     assert got <= exact  # verification step ⇒ no false positives
 
 
+def _synth_emb(spark, n, dim=8):
+    """Deterministic scattered vectors (no RNG — replayable)."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(n),
+                "embedding": [
+                    [((i * 31 + d * 17) % 101 - 50) / 50.0 for d in range(dim)]
+                    for i in range(n)
+                ],
+            }
+        )
+    )
+
+
+def test_auto_sizing_keeps_candidate_pairs_linear(spark):
+    """The k ∝ N contract: with ``target_cell_size`` fixed, the candidate
+    set of the cell-bucketed near-dup join must grow ~LINEARLY with corpus
+    size (cells stay ~target-sized, so same-cell pair enumeration is
+    O(N · cell)).  A fixed k would grow candidates ~quadratically (16× for
+    a 4× corpus).  min_cosine=-1 disables the verify floor so the output IS
+    the candidate set."""
+    small, large = _synth_emb(spark, 400), _synth_emb(spark, 1600)
+    assert similarity.auto_centroids(small, 50) == 8
+    assert similarity.auto_centroids(large, 50) == 32
+
+    n_small = similarity.embedding_near_dup_pairs(
+        small, min_cosine=-1.0, target_cell_size=50
+    ).count()
+    n_large = similarity.embedding_near_dup_pairs(
+        large, min_cosine=-1.0, target_cell_size=50
+    ).count()
+    ratio = n_large / n_small
+    assert ratio < 8.0, (n_small, n_large, ratio)  # ~4 linear vs 16 quadratic
+
+    # fixed k shows the quadratic blowup the auto-sizing prevents
+    n_large_fixed = similarity.embedding_near_dup_pairs(
+        large, min_cosine=-1.0, n_centroids=8
+    ).count()
+    assert n_large_fixed / n_small > ratio, (n_large_fixed, n_large)
+
+
 def test_media_inventory_and_decode_stub(spark, sf_dir):
     sp = docs_src.spans_table(
         corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
