@@ -632,11 +632,14 @@ FROM pairs WHERE {_DUCK_COS} >= {min_cosine}
 def binary_ingest_sql(max_doc_id: int = 400) -> str:
     """Oracle for the S2/S3 binary ingest round-trip: the extracted text must
     equal the source document text modulo the reference's ``.strip()``
-    (services.py:50-53), with the format determined by the deterministic
-    even→kgxb / odd→txt fixture layout."""
+    (services.py:35-53) — for ALL FOUR real parser paths (kgxb container,
+    txt, stdlib PDF, stdlib DOCX), with the format determined by the
+    deterministic ``doc_id % 4`` fixture rotation
+    (kgx.sources.binary.FIXTURE_FORMATS)."""
     return f"""
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'kgxb' ELSE 'txt' END AS source_format,
+       CASE doc_id % 4 WHEN 0 THEN 'kgxb' WHEN 1 THEN 'txt'
+                       WHEN 2 THEN 'pdf' ELSE 'docx' END AS source_format,
        regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS text
 FROM documents WHERE doc_id < {max_doc_id}
 """.strip()

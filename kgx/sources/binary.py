@@ -18,11 +18,14 @@ Parser registry:
   8-byte big-endian payload length + utf-8 payload): a stand-in binary
   format that exercises real binary parsing (magic check, length framing,
   truncation detection) without external codec dependencies.
-- ``.pdf`` / ``.docx`` — dispatched to ``pypdf`` / ``python-docx`` when
-  importable; in this sandbox neither is installed, so these raise
-  ``NotImplementedError`` with the exact dependency named (same
-  documented-stub discipline as kgx.operators.media.decode_media — the
-  Spark plumbing around the parser is real and tested either way).
+- ``.pdf`` / ``.docx`` — stdlib-only parsers (kgx.sources.minidoc):
+  Flate-inflating ``Tj``/``TJ`` text extraction for PDF (the PyPDF2
+  ``extract_text`` semantics of reference services.py:35-42) and
+  ``w:p``/``w:t`` paragraph joining for DOCX (the python-docx semantics of
+  services.py:44-48).  When ``pypdf`` / ``python-docx`` ARE importable they
+  take precedence (full-fidelity parsing of arbitrary real-world files);
+  the minidoc decoders otherwise carry the format end-to-end — generator +
+  parser + oracle round-trip, no stubs left on this path.
 
 Scale notes: binaryFile splits by file, so parallelism = file count;
 ``pathGlobFilter``/partitioned directory layouts prune the listing.  Content
@@ -76,29 +79,33 @@ def _parse_csv(blob: bytes) -> str:
 
 
 def _parse_pdf(blob: bytes) -> str:
+    """Reference semantics: page texts joined with newlines, stripped
+    (services.py:35-42).  Full-featured ``pypdf`` when installed, else the
+    stdlib minidoc decoder (Flate-inflating Tj/TJ extraction)."""
     try:
         import io
 
         import pypdf
-    except ImportError as e:
-        raise NotImplementedError(
-            "PDF extraction needs the 'pypdf' package (reference uses PyPDF2,"
-            " services.py:35-42); not installed in this environment"
-        ) from e
+    except ImportError:
+        from kgx.sources import minidoc
+
+        return minidoc.decode_pdf(blob).strip()
     reader = pypdf.PdfReader(io.BytesIO(blob))
     return "\n".join((page.extract_text() or "") for page in reader.pages).strip()
 
 
 def _parse_docx(blob: bytes) -> str:
+    """Reference semantics: paragraph texts joined with newlines, stripped
+    (services.py:44-48).  ``python-docx`` when installed, else the stdlib
+    minidoc decoder (w:p/w:t paragraph joining)."""
     try:
         import io
 
         import docx
-    except ImportError as e:
-        raise NotImplementedError(
-            "DOCX extraction needs the 'python-docx' package (reference"
-            " services.py:44-48); not installed in this environment"
-        ) from e
+    except ImportError:
+        from kgx.sources import minidoc
+
+        return minidoc.decode_docx(blob).strip()
     d = docx.Document(io.BytesIO(blob))
     return "\n".join(p.text for p in d.paragraphs).strip()
 
@@ -147,22 +154,41 @@ def extract_binary_text(files: DataFrame) -> DataFrame:
 # deterministic fixture for the correctness gate
 # ---------------------------------------------------------------------------
 
+#: doc_id % 4 → on-disk format for the gate fixture.  Every format the
+#: dispatch registry supports (minus CSV, whose prose flattening is
+#: covered by the s5_csv_prose gate query) round-trips through a REAL
+#: encoder + parser pair: kgxb (length-prefixed container), txt, pdf
+#: (Flate-compressed Tj streams) and docx (OPC zip + document.xml).
+FIXTURE_FORMATS = ("kgxb", "txt", "pdf", "docx")
+
+
 def ensure_binary_fixture(sf_dir: str, max_doc_id: int = 400) -> str:
     """Materialize documents with ``doc_id < max_doc_id`` from
-    ``{sf_dir}/documents.parquet`` as files: even ids → ``.kgxb`` container,
-    odd ids → plain ``.txt``.  Idempotent (content-keyed directory with a
-    completion marker), deterministic, derived solely from driver testdata —
-    the oracle recomputes the same subset relationally."""
+    ``{sf_dir}/documents.parquet`` as files, format rotating by
+    ``doc_id % 4`` (:data:`FIXTURE_FORMATS`).  Idempotent (content-keyed
+    directory with a completion marker), deterministic, derived solely
+    from driver testdata — the oracle recomputes the same subset
+    relationally (kgx.oracles.binary_ingest_sql)."""
     import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{max_doc_id}".encode()).hexdigest()[:12]
+    from kgx.sources import minidoc
+
+    key = hashlib.md5(
+        f"v2|{os.path.abspath(sf_dir)}|{max_doc_id}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"kgx_binfix_{key}")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
     import pyarrow.parquet as pq
 
+    encoders = {
+        "kgxb": lambda t: encode_kgxb(t),
+        "txt": lambda t: t.encode("utf-8"),
+        "pdf": minidoc.encode_pdf,
+        "docx": minidoc.encode_docx,
+    }
     tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -170,12 +196,9 @@ def ensure_binary_fixture(sf_dir: str, max_doc_id: int = 400) -> str:
     for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
         if doc_id >= max_doc_id:
             continue
-        if doc_id % 2 == 0:
-            with open(os.path.join(out, f"doc_{doc_id}.kgxb"), "wb") as f:
-                f.write(encode_kgxb(text))
-        else:
-            with open(os.path.join(out, f"doc_{doc_id}.txt"), "wb") as f:
-                f.write(text.encode("utf-8"))
+        fmt = FIXTURE_FORMATS[doc_id % 4]
+        with open(os.path.join(out, f"doc_{doc_id}.{fmt}"), "wb") as f:
+            f.write(encoders[fmt](text))
     with open(marker, "w") as f:
         f.write("ok")
     return out

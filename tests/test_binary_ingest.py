@@ -2,15 +2,15 @@
 
 Covers the round-trip contract (extracted text == source text modulo strip),
 the reference's CSV-to-prose semantics, the KGXB container framing (magic +
-length checks), unsupported-extension dispatch, and the documented
-pdf/docx stubs (reference services.py:20-62)."""
+length checks), unsupported-extension dispatch, and the stdlib PDF/DOCX
+parser pair (reference services.py:20-62)."""
 
 import os
 import tempfile
 
 import pytest
 
-from kgx.sources import binary
+from kgx.sources import binary, minidoc
 
 
 @pytest.fixture(scope="module")
@@ -22,6 +22,10 @@ def drop_dir():
         f.write(binary.encode_kgxb("Jane Smith founded TechStart."))
     with open(os.path.join(d, "doc_4.csv"), "wb") as f:
         f.write(b"TechCorp,500000000,David Kim\nDataInc,1000,Ana Lee\n")
+    with open(os.path.join(d, "doc_6.pdf"), "wb") as f:
+        f.write(minidoc.encode_pdf("Maria Garcia works at Innovate Labs.\nSecond line."))
+    with open(os.path.join(d, "doc_8.docx"), "wb") as f:
+        f.write(minidoc.encode_docx("Li Wei founded Quantum Systems.\nBoard: Ana Lee."))
     return d
 
 
@@ -36,6 +40,8 @@ def test_binary_round_trip_txt_kgxb_csv(spark, drop_dir):
     assert out[2] == ("kgxb", "Jane Smith founded TechStart.")
     # reference CSV semantics: cells re-joined with ", ", rows with newline
     assert out[4] == ("csv", "TechCorp, 500000000, David Kim\nDataInc, 1000, Ana Lee")
+    assert out[6] == ("pdf", "Maria Garcia works at Innovate Labs.\nSecond line.")
+    assert out[8] == ("docx", "Li Wei founded Quantum Systems.\nBoard: Ana Lee.")
 
 
 def test_kgxb_framing_rejects_corruption():
@@ -55,18 +61,32 @@ def test_unsupported_extension_raises(spark, drop_dir):
         binary.extract_binary_text(binary.load_binary_docs(spark, d)).collect()
 
 
-def test_pdf_docx_stubs_name_their_dependency(spark):
-    d = tempfile.mkdtemp(prefix="kgx_bin_pdf_")
-    with open(os.path.join(d, "doc_3.pdf"), "wb") as f:
-        f.write(b"%PDF-1.4 fake")
-    try:
-        import pypdf  # noqa: F401
+def test_pdf_roundtrip_and_foreign_shapes():
+    """The stdlib PDF codec: generator→parser identity on arbitrary text,
+    plus parsing of foreign uncompressed literal-string PDFs (escapes,
+    octal codes, TJ kerning arrays) — the shapes real writers emit."""
+    for t in [
+        "John Doe is the CEO of Acme Corporation.",
+        "line one\nline two\nline three",
+        "unicode: déjà vu — 漢字",
+        "parens (and) backslash \\ and <angle>",
+    ]:
+        assert minidoc.decode_pdf(minidoc.encode_pdf(t)) == t
+    raw = (
+        b"%PDF-1.1\n1 0 obj\n<< /Length 60 >>\nstream\n"
+        b"BT (Hello \\(World\\) \\101BC) Tj T* [(kern)-120(ed)] TJ ET\n"
+        b"endstream\nendobj\n"
+    )
+    assert minidoc.decode_pdf(raw) == "Hello (World) ABC\nkerned"
+    with pytest.raises(ValueError, match="magic"):
+        minidoc.decode_pdf(b"not a pdf")
 
-        pytest.skip("pypdf installed — stub path not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(Exception, match="pypdf"):
-        binary.extract_binary_text(binary.load_binary_docs(spark, d)).collect()
+
+def test_docx_roundtrip_and_corruption():
+    for t in ["Jane Smith founded TechStart.", "p1\np2", "a & b < c > d"]:
+        assert minidoc.decode_docx(minidoc.encode_docx(t)) == t
+    with pytest.raises(ValueError, match="DOCX"):
+        minidoc.decode_docx(b"garbage bytes")
 
 
 def test_fixture_is_idempotent_and_complete(spark, sf_dir):
@@ -76,7 +96,13 @@ def test_fixture_is_idempotent_and_complete(spark, sf_dir):
     rows = binary.extract_binary_text(
         binary.load_binary_docs(spark, d1, glob="doc_*")
     ).collect()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 40")
-    assert len(rows) == docs.count()
-    fmts = {r["doc_id"]: r["source_format"] for r in rows}
-    assert all(f == ("kgxb" if i % 2 == 0 else "txt") for i, f in fmts.items())
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id < 40")
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r["source_format"] == binary.FIXTURE_FORMATS[r["doc_id"] % 4]
+        assert r["text"] == docs[r["doc_id"]].strip()  # all 4 parsers round-trip
