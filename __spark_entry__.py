@@ -455,6 +455,35 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+def q_funnel_export(spark, sf_dir):
+    """The full pretraining story COMPOSED end-to-end: the five-stage
+    curation funnel's survivors flow into the deterministic sharder, the
+    per-shard manifest (order-independent doc-set checksum) and the
+    concat-then-chunk packing window — one lazy plan from raw corpus to
+    export accounting.  Per shard: docs/tokens/chars/checksum plus the
+    packed-sequence count and how many docs span a chunk boundary.  The
+    oracle (kgx.oracles.funnel_export_sql) replays the identical
+    composition with the funnel nested as a CTE."""
+    from kgx.operators import packing
+    from kgx.plans.curation_pipeline import CurationConfig, funnel_final
+    from kgx.sources import corpus
+
+    cfg = CurationConfig(
+        out_dir="", write=False, min_tokens=20,
+        quality_kwargs={"max_symbol_ratio": 0.2},
+    )
+    curated = funnel_final(
+        corpus.narrative_documents(_documents(spark, sf_dir)), cfg
+    )
+    man = packing.shard_manifest(curated, n_shards=8)
+    pack = packing.seq_pack(curated, capacity=128, n_shards=8)
+    pstats = pack.groupBy("shard").agg(
+        (F.max("last_seq") + 1).cast("long").alias("n_seqs"),
+        F.sum((F.col("n_seqs") > 1).cast("long")).cast("long").alias("spanning_docs"),
+    )
+    return man.join(pstats, "shard")
+
+
 def q_balanced_sample(spark, sf_dir):
     """Balance-to-minority stratified sampling over the domain fixture
     strata (deterministic hash-Bernoulli; integer-bp rates)."""
@@ -1008,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         "sentence_prune": q_sentence_prune,
         "curation_funnel": q_curation_funnel,
+        "funnel_export": q_funnel_export,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
@@ -1085,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_dedup": oracles.sentence_dedup_sql(),
         "sentence_prune": oracles.sentence_prune_sql(),
         "curation_funnel": oracles.curation_funnel_sql(),
+        "funnel_export": oracles.funnel_export_sql(n_shards=8, capacity=128),
         "graph_degrees": oracles.graph_degrees_sql(),
         "graph_pagerank": oracles.graph_pagerank_sql(),
         "graph_triangles": oracles.graph_triangles_sql(),

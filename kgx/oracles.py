@@ -2014,6 +2014,63 @@ FROM rates r LEFT JOIN picked p USING (source)
 """.strip()
 
 
+def funnel_export_sql(
+    n_shards: int = 8, capacity: int = 128, **funnel_kwargs
+) -> str:
+    """Oracle for the composed curation→export story (mirror of
+    __spark_entry__.q_funnel_export): the five-stage funnel's survivors
+    (curation_funnel_sql, nested as a materialized CTE) flow into the
+    deterministic sharder, per-shard manifests and the concat-then-chunk
+    packing window — the full pretraining-export pipeline value-checked
+    end-to-end, not stage-by-stage."""
+    from kgx.operators.packing import CHECKSUM_MOD
+
+    funnel = curation_funnel_sql(**funnel_kwargs)
+    h = _duck_md5_60("cast(doc_id as varchar)")
+    tok = "len(list_filter(str_split(text, ' '), t -> t <> ''))"
+    return f"""
+WITH curated AS MATERIALIZED (
+{funnel}
+),
+sh AS MATERIALIZED (
+    SELECT doc_id,
+           CAST({h} % {n_shards} AS BIGINT) AS shard,
+           CAST({tok} AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM curated
+    WHERE {tok} > 0
+),
+cum AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM sh
+),
+pk AS (
+    SELECT shard,
+           (c - 1) // {capacity} AS last_seq,
+           CASE WHEN (c - 1) // {capacity} > (c - n_tokens) // {capacity}
+                THEN 1 ELSE 0 END AS spans
+    FROM cum
+),
+pstats AS (
+    SELECT shard,
+           CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+           CAST(sum(spans) AS BIGINT) AS spanning_docs
+    FROM pk GROUP BY shard
+)
+SELECT m.shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(m.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(m.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum({h} % {CHECKSUM_MOD}) AS BIGINT) AS checksum,
+       any_value(p.n_seqs) AS n_seqs,
+       any_value(p.spanning_docs) AS spanning_docs
+FROM sh m JOIN pstats p USING (shard)
+GROUP BY m.shard
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # text indexing (kgx.operators.indexing)
 # ---------------------------------------------------------------------------
