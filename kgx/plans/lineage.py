@@ -63,22 +63,48 @@ def append_lineage(
     spark: SparkSession,
     out_dir: str,
     run_id: str,
-    per_bucket: DataFrame,
+    per_bucket,
     started_at: datetime,
 ) -> None:
-    """``per_bucket``: (bucket, docs, nodes, edges, triples)."""
+    """``per_bucket``: (bucket, docs, nodes, edges, triples) — a collected
+    row list, or a (small) DataFrame for convenience.
+
+    The lineage table is driver-side metadata (one row per bucket, already
+    collected for the job summary), so the append is a direct pyarrow
+    parquet write + atomic rename — NOT a Spark job.  The round-2 stage
+    profile showed the Spark-job version costing up to 13.7 s of pure
+    serial tail at local[32] ×320 (scheduler + createDataFrame + task
+    round-trip for a sub-KB table), an Amdahl term that only grows with
+    cluster size.  The dot-prefixed temp file is invisible to concurrent
+    Spark readers until the rename, preserving atomic per-commit
+    visibility (the parquet-directory stand-in for Iceberg's atomic
+    append)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if isinstance(per_bucket, DataFrame):
+        per_bucket = per_bucket.collect()
     finished = datetime.now(timezone.utc)
-    rows = (
-        per_bucket.select(
-            F.lit(run_id).alias("run_id"),
-            F.col("bucket").cast("int"),
-            F.lit("done").alias("status"),
-            F.col("docs").cast("long"),
-            F.col("nodes").cast("long"),
-            F.col("edges").cast("long"),
-            F.col("triples").cast("long"),
-            F.lit(started_at).alias("started_at"),
-            F.lit(finished).alias("finished_at"),
-        )
+    n = len(per_bucket)
+    ts = pa.timestamp("us", tz="UTC")
+    tbl = pa.table(
+        {
+            "run_id": pa.array([run_id] * n, pa.string()),
+            "bucket": pa.array([int(r["bucket"]) for r in per_bucket], pa.int32()),
+            "status": pa.array(["done"] * n, pa.string()),
+            "docs": pa.array([int(r["docs"]) for r in per_bucket], pa.int64()),
+            "nodes": pa.array([int(r["nodes"]) for r in per_bucket], pa.int64()),
+            "edges": pa.array([int(r["edges"]) for r in per_bucket], pa.int64()),
+            "triples": pa.array([int(r["triples"]) for r in per_bucket], pa.int64()),
+            "started_at": pa.array([started_at] * n, ts),
+            "finished_at": pa.array([finished] * n, ts),
+        }
     )
-    rows.write.mode("append").parquet(lineage_path(out_dir))
+    path = lineage_path(out_dir)
+    os.makedirs(path, exist_ok=True)
+    fname = f"part-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
+    tmp = os.path.join(path, f".{fname}.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(path, fname))

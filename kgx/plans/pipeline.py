@@ -256,10 +256,9 @@ def run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
         )
 
     t_stage = time.time()
-    per_bucket = spark.createDataFrame(
-        per_bucket_rows, "bucket int, docs long, nodes long, edges long, triples long"
-    )
-    lin.append_lineage(spark, cfg.out_dir, run_id, per_bucket, started)
+    # per_bucket_rows is already on the driver — the commit is a direct
+    # pyarrow write (see append_lineage), zero Spark jobs in the serial tail
+    lin.append_lineage(spark, cfg.out_dir, run_id, per_bucket_rows, started)
     stages["lineage_commit"] = round(time.time() - t_stage, 3)
 
     docs_this_run = sum(r["docs"] for r in per_bucket_rows)
