@@ -223,18 +223,33 @@ def winnowed_fingerprints(
     gives at 100 TB: any shared substring of length ≥ k + window - 1
     between two documents produces at least one identical selected
     fingerprint, while storing ~2/(window+1) of all k-gram hashes.
+
+    The two project_barrier calls are load-bearing (round-3 fix): each HOF
+    stage's lambda references the PREVIOUS stage's computed column, and
+    without a materialization barrier CollapseProject inlines the defining
+    expression into the lambda body, re-evaluating it per array element —
+    the nested version re-ran the full gram-hash array (which re-ran the
+    regex normalization per gram) for every sliding-window position:
+    O(L²·regex) per document, profiled at >10 minutes for 500 sub-KB docs.
+    With the barriers each stage is O(L): norm computed once per row,
+    gram_hashes once per row, window mins slice a bound array value.
     """
     norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
     from kgx.functions.hashing import spark_md5_60
+    from kgx.functions.plan import project_barrier
 
     gram_hash = spark_md5_60(f"substring(norm, i, {k})")
-    t = documents.selectExpr("doc_id", f"{norm} AS norm").where(
-        F.length("norm") >= k + window - 1
+    t = project_barrier(
+        documents.selectExpr("doc_id", f"{norm} AS norm").where(
+            F.length("norm") >= k + window - 1
+        )
     )
-    hashed = t.selectExpr(
-        "doc_id",
-        f"transform(sequence(1, length(norm) - {k - 1}), i -> {gram_hash})"
-        " AS gram_hashes",
+    hashed = project_barrier(
+        t.selectExpr(
+            "doc_id",
+            f"transform(sequence(1, length(norm) - {k - 1}), i -> {gram_hash})"
+            " AS gram_hashes",
+        )
     )
     winnowed = hashed.selectExpr(
         "doc_id",

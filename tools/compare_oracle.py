@@ -45,26 +45,36 @@ def main() -> int:
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
+    import time
+
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    t_sweep = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         spark_pdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
         if name not in os_:
             print(f"{name:24s} rows={len(spark_pdf):7d}  (no oracle — rows-only)")
             continue
+        t0 = time.time()
         duck_pdf = con.sql(os_[name]).df()
+        t_duck = time.time() - t0
         rc = len(spark_pdf) == len(duck_pdf)
         sc = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
         vh = value_hash(spark_pdf) == value_hash(duck_pdf) if rc and sc else False
         status = "OK " if (rc and sc and vh) else "FAIL"
         print(
             f"{name:24s} {status} rows={len(spark_pdf)}/{len(duck_pdf)} "
-            f"schema={'=' if sc else sorted(spark_pdf.columns)!r:}{'' if sc else sorted(duck_pdf.columns)} hash={'=' if vh else '!'}"
+            f"schema={'=' if sc else sorted(spark_pdf.columns)!r:}{'' if sc else sorted(duck_pdf.columns)} hash={'=' if vh else '!'} "
+            f"spark={t_spark:.1f}s duck={t_duck:.1f}s",
+            flush=True,
         )
         if status == "FAIL":
             failed.append((name, spark_pdf, duck_pdf))
+    print(f"sweep wall: {time.time() - t_sweep:.1f}s")
 
     for name, s, d in failed:
         print(f"\n--- {name}: first diffs ---")
