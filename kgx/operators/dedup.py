@@ -58,11 +58,42 @@ def exact_groups(documents: DataFrame) -> DataFrame:
 def _shingle_expr(n: int, col: str = "text") -> str:
     """Distinct word n-gram shingle strings from ``col`` (space-tokenized).
     Guarded: Spark's sequence(1, 0) would DESCEND, so short docs short-circuit
-    to an empty array."""
+    to an empty array.
+
+    NOTE the ``slice(split(col), i, n)`` inside the lambda re-tokenizes the
+    document per shingle when ``col`` is a raw expression (the nested-HOF
+    inlining trap documented in kgx.functions.plan) — O(tokens × doc_len)
+    per document.  Negligible on sub-KB fixture docs, quadratic-ish on long
+    web documents, so :func:`_tokenized` hoists the split behind a
+    project_barrier and passes the bound ``toks`` attribute here instead;
+    this raw-column form remains for caller-supplied expressions (e.g.
+    char shingles over short entity labels, where hoisting buys nothing)."""
     return (
         f"CASE WHEN size(split({col}, ' ')) < {n} THEN array() "
         f"ELSE array_distinct(transform(sequence(1, size(split({col}, ' ')) - {n - 1}), "
         f"i -> array_join(slice(split({col}, ' '), i, {n}), ' '))) END"
+    )
+
+
+def _toks_shingle_expr(n: int) -> str:
+    """Same shingle semantics over a pre-materialized ``toks`` array
+    attribute: slice per element is an O(n) bound-array copy, so shingling
+    is linear in document length."""
+    return (
+        f"CASE WHEN size(toks) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> array_join(slice(toks, i, {n}), ' '))) END"
+    )
+
+
+def _tokenized(documents: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, toks array<string>) — the split hoisted behind a
+    materialization barrier (kgx.functions.plan.project_barrier) so shingle
+    lambdas reference a bound attribute, never re-tokenizing per element."""
+    from kgx.functions.plan import project_barrier
+
+    return project_barrier(
+        documents.selectExpr(id_col, "split(text, ' ') AS toks")
     )
 
 
@@ -87,9 +118,13 @@ def shingle_table(
     """(doc_id, shingle_hash) — exploded distinct shingles, hashed to 60 bits.
     ``shingle_expr`` overrides the default word-n-gram expression (e.g.
     :func:`char_shingle_expr` for entity-label linking)."""
-    expr = shingle_expr or _shingle_expr(n)
+    if shingle_expr is None:
+        src = _tokenized(documents, id_col)
+        expr = _toks_shingle_expr(n)
+    else:
+        src, expr = documents, shingle_expr
     return (
-        documents.select(id_col, F.expr(expr).alias("shingles"))
+        src.select(id_col, F.expr(expr).alias("shingles"))
         .select(id_col, F.explode("shingles").alias("shingle"))
         .select(id_col, F.expr(hashing.spark_md5_60("shingle")).alias("shingle_hash"))
     )
@@ -140,9 +175,13 @@ def hashed_shingles(
     """(doc_id, hs array<bigint>) — the distinct-shingle hash SET per doc,
     one md5-60 per shingle, zero shuffle; docs with no shingles are dropped
     (shorter than n tokens)."""
-    expr = shingle_expr or _shingle_expr(n)
+    if shingle_expr is None:
+        src = _tokenized(documents, id_col)
+        expr = _toks_shingle_expr(n)
+    else:
+        src, expr = documents, shingle_expr
     return (
-        documents.select(id_col, F.expr(expr).alias("shingles"))
+        src.select(id_col, F.expr(expr).alias("shingles"))
         .where(F.size("shingles") > 0)
         .select(
             id_col,
