@@ -212,9 +212,11 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     """64-bit SimHash fingerprints, banded candidates, Hamming <= 3, with
     the band-bucket skew guard ON (``max_bucket=200``, mirroring the MinHash
     guard): a boilerplate cluster can no longer enumerate O(B²) rows in one
-    15-bit bucket.  The driver corpus' largest band bucket is far below the
-    cap, so the guard is semantics-neutral here — the oracle applies the
-    identical cutoff."""
+    15-bit bucket.  At the sf0.01 gate scale the largest band bucket is far
+    below the cap, so the guard is semantics-neutral there (identical 2932
+    rows) and the oracle applies the identical cutoff; at sf0.1 the corpus
+    HAS near-identical flood clusters and the cap drops them (34k vs 272k
+    uncapped pairs) — the designed behavior."""
     from kgx.operators import dedup
 
     return dedup.simhash_pairs(_documents(spark, sf_dir), max_bucket=200)
