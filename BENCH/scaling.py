@@ -145,11 +145,16 @@ SAMPLES_PATH = os.path.join(REPO, "BENCH", "scaling_samples.jsonl")
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # `--report-only` regenerates scaling_results.json + BASELINE.md from the
+    # accumulated sample history (e.g. after editing BASELINE_extra.md)
+    # without burning ~20 min of pinned measurements.
+    report_only = "--report-only" in sys.argv
+    argv = [a for a in sys.argv if a != "--report-only"]
+    factor = int(argv[1]) if len(argv) > 1 else 20
+    reps = 0 if report_only else (int(argv[2]) if len(argv) > 2 else 2)
     levels = (
-        tuple(int(x) for x in sys.argv[3].split(","))
-        if len(sys.argv) > 3
+        tuple(int(x) for x in argv[3].split(","))
+        if len(argv) > 3
         else (2, 8, 32)
     )
     pairs = {}

@@ -214,7 +214,10 @@ def _xml_escape(s: str) -> str:
 
 def encode_docx(text: str) -> bytes:
     """Minimal OPC package with one ``w:p``/``w:r``/``w:t`` per input line.
-    Fixed zip timestamps keep the fixture byte-stable across rebuilds."""
+    Fixed zip timestamps keep the fixture byte-stable across rebuilds.
+    Contract: XML-legal text only — XML 1.0 cannot represent C0 control
+    characters at all (the same limit a real Word document has); the PDF
+    codec's hex strings carry them if a corpus needs that."""
     paras = "".join(
         f'<w:p><w:r><w:t xml:space="preserve">{_xml_escape(line)}</w:t></w:r></w:p>'
         for line in text.split("\n")

@@ -89,6 +89,45 @@ def test_docx_roundtrip_and_corruption():
         minidoc.decode_docx(b"garbage bytes")
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def _lines(alphabet):
+        return st.lists(
+            st.text(alphabet=alphabet, max_size=80), min_size=1, max_size=6
+        ).map("\n".join)
+
+    # PDF hex strings carry arbitrary unicode (minus line separators that
+    # would alias the \n line protocol and lone surrogates)
+    _pdf_lines = _lines(
+        st.characters(
+            blacklist_categories=("Cs",),
+            blacklist_characters="\r\x0b\x0c\x85  ",
+        )
+    )
+    # XML 1.0 cannot represent C0 control characters AT ALL (even escaped) —
+    # a real .docx has the same limit, so the docx contract is XML-legal text
+    _docx_lines = _lines(
+        st.characters(
+            blacklist_categories=("Cs", "Cc"),
+            blacklist_characters="  ",
+        )
+    )
+
+    @given(_pdf_lines)
+    @settings(max_examples=60, deadline=None)
+    def test_pdf_codec_roundtrip_property(t):
+        assert minidoc.decode_pdf(minidoc.encode_pdf(t)) == t
+
+    @given(_docx_lines)
+    @settings(max_examples=60, deadline=None)
+    def test_docx_codec_roundtrip_property(t):
+        assert minidoc.decode_docx(minidoc.encode_docx(t)) == t
+except ImportError:  # pragma: no cover - hypothesis is baked into the sandbox
+    pass
+
+
 def test_fixture_is_idempotent_and_complete(spark, sf_dir):
     d1 = binary.ensure_binary_fixture(sf_dir, max_doc_id=40)
     d2 = binary.ensure_binary_fixture(sf_dir, max_doc_id=40)
