@@ -150,3 +150,31 @@ def test_fn_scalar_suite_has_no_exchange(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1, plan
+
+
+def test_simhash_pairs_plan_has_no_join(spark, sf_dir):
+    """Round 3: the capped SimHash pair enumeration is groupBy buckets +
+    array HOFs — a Join/CartesianProduct anywhere is a regression to the
+    uncapped band self-join (O(B²) on boilerplate floods)."""
+    from kgx.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = dedup.simhash_pairs(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_winnowed_fingerprints_keeps_projection_barriers(spark, sf_dir):
+    """Round 3: winnowed fingerprints MUST keep its two project_barrier
+    Generate nodes (plus the final explode = 3 Generates total).  Without
+    them CollapseProject inlines norm/gram_hashes into the HOF lambda
+    bodies and re-evaluates them PER ARRAY ELEMENT — O(L²·regex) per doc,
+    profiled at >10 minutes for 500 sub-KB documents."""
+    from kgx.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = textstats.winnowed_fingerprints(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("Generate") >= 3, plan

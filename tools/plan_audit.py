@@ -99,6 +99,19 @@ SECTIONS = [
      "Source-mixing plan: two map-side-combined aggregates over the "
      "corpus; the |sources|-row rate table broadcasts back for the "
      "sampling audit."),
+    ("dedup_simhash_pairs",
+     "Round 3: the band self-join is gone — ONE groupBy(band, band_bits) "
+     "exchange builds capped buckets, pairs enumerate via array HOFs "
+     "(no Join operator anywhere in the plan)."),
+    ("fingerprints_winnowed",
+     "Round 3: the two project_barrier Generate nodes pin norm and "
+     "gram_hashes as bound attributes — without them CollapseProject "
+     "re-evaluated the gram array per sliding-window element "
+     "(O(L^2) regex per doc; >10 min for 500 sub-KB docs)."),
+    ("funnel_export",
+     "The composed curation-to-export plan: funnel survivor boundaries "
+     "persist (InMemoryTableScan), then one shard-keyed exchange feeds "
+     "both the manifest aggregate and the packing window."),
 ]
 
 
