@@ -635,11 +635,19 @@ def binary_ingest_sql(max_doc_id: int = 400) -> str:
     (services.py:35-53) — for ALL FOUR real parser paths (kgxb container,
     txt, stdlib PDF, stdlib DOCX), with the format determined by the
     deterministic ``doc_id % 4`` fixture rotation
-    (kgx.sources.binary.FIXTURE_FORMATS)."""
+    (kgx.sources.binary.FIXTURE_FORMATS) — with the XML-illegal-text
+    docx→pdf fallback mirrored (kgx.sources.binary.fixture_format): XML
+    1.0 cannot carry C0 controls / \\r / #xFFFE / #xFFFF, so such
+    documents are materialized as PDF instead."""
     return f"""
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'kgxb' WHEN 1 THEN 'txt'
-                       WHEN 2 THEN 'pdf' ELSE 'docx' END AS source_format,
+       CASE WHEN doc_id % 4 = 0 THEN 'kgxb'
+            WHEN doc_id % 4 = 1 THEN 'txt'
+            WHEN doc_id % 4 = 2 THEN 'pdf'
+            WHEN regexp_matches(text,
+                 '[\\x{{00}}-\\x{{08}}\\x{{0B}}\\x{{0C}}\\x{{0E}}-\\x{{1F}}\\x{{0D}}\\x{{FFFE}}\\x{{FFFF}}]')
+                 THEN 'pdf'
+            ELSE 'docx' END AS source_format,
        regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS text
 FROM documents WHERE doc_id < {max_doc_id}
 """.strip()

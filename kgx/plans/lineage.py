@@ -78,7 +78,13 @@ def append_lineage(
     cluster size.  The dot-prefixed temp file is invisible to concurrent
     Spark readers until the rename, preserving atomic per-commit
     visibility (the parquet-directory stand-in for Iceberg's atomic
-    append)."""
+    append).
+
+    ``out_dir`` may be any pyarrow-supported filesystem URI (s3://,
+    hdfs://, gcs://, file://, or a bare local path): local paths keep the
+    dot-temp + rename protocol; object stores get a single direct PUT,
+    which is already atomically visible (S3/GCS have no rename, and a
+    half-written object never becomes readable)."""
     import uuid
 
     import pyarrow as pa
@@ -102,9 +108,21 @@ def append_lineage(
             "finished_at": pa.array([finished] * n, ts),
         }
     )
-    path = lineage_path(out_dir)
-    os.makedirs(path, exist_ok=True)
     fname = f"part-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
-    tmp = os.path.join(path, f".{fname}.tmp")
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, os.path.join(path, fname))
+    scheme = out_dir.split("://", 1)[0] if "://" in out_dir else ""
+    if scheme in ("", "file"):
+        path = lineage_path(out_dir[len("file://"):] if scheme else out_dir)
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, f".{fname}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(path, fname))
+    else:  # object store / HDFS: single-object write, atomic visibility
+        import pyarrow.fs as pafs
+
+        fs, base = pafs.FileSystem.from_uri(out_dir)
+        path = f"{base.rstrip('/')}/lineage"
+        try:
+            fs.create_dir(path, recursive=True)
+        except NotImplementedError:  # flat object stores have no dirs
+            pass
+        pq.write_table(tbl, f"{path}/{fname}", filesystem=fs)

@@ -162,6 +162,22 @@ def extract_binary_text(files: DataFrame) -> DataFrame:
 FIXTURE_FORMATS = ("kgxb", "txt", "pdf", "docx")
 
 
+def fixture_format(doc_id: int, text: str) -> str:
+    """On-disk format for one fixture document: ``doc_id % 4`` rotation,
+    EXCEPT that documents whose text XML 1.0 cannot represent (C0
+    controls, \\r, surrogates, #xFFFE/#xFFFF) fall back from docx to pdf —
+    ``encode_docx`` rejects them by contract, and the PDF codec's hex
+    strings carry any code point.  The oracle mirrors this predicate
+    (kgx.oracles.binary_ingest_sql); driver testdata contains no such
+    document, so the rule is a safety rail, not a live branch."""
+    from kgx.sources import minidoc
+
+    fmt = FIXTURE_FORMATS[doc_id % 4]
+    if fmt == "docx" and minidoc.xml_illegal_char(text) is not None:
+        return "pdf"
+    return fmt
+
+
 def ensure_binary_fixture(sf_dir: str, max_doc_id: int = 400) -> str:
     """Materialize documents with ``doc_id < max_doc_id`` from
     ``{sf_dir}/documents.parquet`` as files, format rotating by
@@ -175,7 +191,7 @@ def ensure_binary_fixture(sf_dir: str, max_doc_id: int = 400) -> str:
     from kgx.sources import minidoc
 
     key = hashlib.md5(
-        f"v2|{os.path.abspath(sf_dir)}|{max_doc_id}".encode()
+        f"v3|{os.path.abspath(sf_dir)}|{max_doc_id}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"kgx_binfix_{key}")
     marker = os.path.join(out, "_COMPLETE")
@@ -196,7 +212,7 @@ def ensure_binary_fixture(sf_dir: str, max_doc_id: int = 400) -> str:
     for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
         if doc_id >= max_doc_id:
             continue
-        fmt = FIXTURE_FORMATS[doc_id % 4]
+        fmt = fixture_format(doc_id, text)
         with open(os.path.join(out, f"doc_{doc_id}.{fmt}"), "wb") as f:
             f.write(encoders[fmt](text))
     with open(marker, "w") as f:

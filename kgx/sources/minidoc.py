@@ -99,9 +99,14 @@ def encode_pdf(text: str) -> bytes:
     return out.getvalue()
 
 
-_STREAM_RX = re.compile(
-    rb"<<(?P<dict>.*?)>>\s*stream\r?\n(?P<data>.*?)endstream", re.DOTALL
-)
+#: stream-object opener: the dict plus the EOL that terminates the
+#: ``stream`` keyword; the data itself is sliced by ``/Length`` (spec
+#: path) or by searching ``endstream`` (no-Length fallback) — a regex
+#: capture of the body would truncate at any ``endstream`` byte sequence
+#: occurring INSIDE compressed data.
+_STREAM_START_RX = re.compile(rb"<<(?P<dict>.*?)>>\s*stream(?:\r\n|\r|\n)", re.DOTALL)
+#: direct /Length value; the lookahead rejects indirect refs (``6 0 R``)
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 #: literal string (handles \-escapes incl. escaped parens) or hex string
 _STRING_RX = re.compile(rb"\((?P<lit>(?:\\.|[^\\()])*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>")
 _BT_RX = re.compile(rb"BT(?P<body>.*?)ET", re.DOTALL)
@@ -150,16 +155,48 @@ def _decode_pdf_string(tok: bytes) -> str:
 
 def decode_pdf(blob: bytes) -> str:
     """Extract the text shown by every content stream, one line per
-    ``Tj``/``'`` show (PyPDF2-equivalent for line-oriented layouts)."""
+    ``Tj``/``'`` show (PyPDF2-equivalent for line-oriented layouts).
+
+    Stream bodies are sliced by the dict's ``/Length`` entry when it is a
+    direct integer (ISO 32000 §7.3.8 — exact, survives ``endstream`` or
+    EOL bytes inside compressed data); only no-Length streams fall back to
+    an ``endstream`` search with a single trailing-EOL trim (the EOL
+    before ``endstream`` belongs to the keyword, not the data).
+
+    Known foreign-PDF limitation: literal strings containing BALANCED
+    UNESCAPED parentheses — spec-legal, ``(a (b) c)`` — are matched only
+    up to the first inner ``)`` by the regex tokenizer, so such text is
+    truncated/garbled.  Our own encoder is unaffected (it emits hex
+    strings exclusively), and mainstream writers escape inner parens;
+    full support needs a paren-depth scanner in place of ``_STRING_RX``.
+    """
     if not blob.startswith(b"%PDF-"):
         raise ValueError("bad PDF magic (missing %PDF- header)")
     lines: list[str] = []
-    for m in _STREAM_RX.finditer(blob):
-        data = m.group("data")
-        if data.endswith(b"\r\n"):
-            data = data[:-2]
-        elif data.endswith(b"\n"):
-            data = data[:-1]
+    pos = 0
+    while True:
+        m = _STREAM_START_RX.search(blob, pos)
+        if m is None:
+            break
+        start = m.end()
+        lm = _LENGTH_RX.search(m.group("dict"))
+        if lm is not None:
+            n = int(lm.group(1))
+            if start + n > len(blob):
+                raise ValueError("truncated stream (shorter than /Length)")
+            data = blob[start : start + n]
+            end = blob.find(b"endstream", start + n)
+            pos = end + len(b"endstream") if end != -1 else start + n
+        else:
+            end = blob.find(b"endstream", start)
+            if end == -1:
+                raise ValueError("unterminated stream (no endstream)")
+            data = blob[start:end]
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data.endswith(b"\n") or data.endswith(b"\r"):
+                data = data[:-1]
+            pos = end + len(b"endstream")
         if b"/FlateDecode" in m.group("dict"):
             try:
                 data = zlib.decompress(data)
@@ -212,12 +249,40 @@ def _xml_escape(s: str) -> str:
     )
 
 
+#: characters XML 1.0 cannot carry (even escaped): C0 controls minus
+#: TAB/LF, surrogates, and the two non-characters #xFFFE/#xFFFF.  CR is
+#: included because conformant XML parsers NORMALIZE \r and \r\n to \n
+#: (XML 1.0 §2.11) — a literal \r cannot round-trip through a real .docx
+#: either.  \n is fine: it is this codec's paragraph separator.
+_XML_ILLEGAL_RX = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\r\ud800-\udfff￾￿]"
+)
+
+
+def xml_illegal_char(text: str) -> str | None:
+    """First XML-1.0-unrepresentable character in ``text`` (or None).
+    Used by ``encode_docx`` to fail fast and by the binary-ingest fixture
+    to route such documents to the PDF codec instead (whose hex strings
+    carry arbitrary code points)."""
+    m = _XML_ILLEGAL_RX.search(text)
+    return m.group() if m else None
+
+
 def encode_docx(text: str) -> bytes:
     """Minimal OPC package with one ``w:p``/``w:r``/``w:t`` per input line.
     Fixed zip timestamps keep the fixture byte-stable across rebuilds.
     Contract: XML-legal text only — XML 1.0 cannot represent C0 control
-    characters at all (the same limit a real Word document has); the PDF
-    codec's hex strings carry them if a corpus needs that."""
+    characters at all (the same limit a real Word document has) and
+    parsers normalize \\r away; such input raises ``ValueError`` up front
+    (instead of an uncaught ElementTree ParseError or a silent
+    mis-round-trip at decode time).  The PDF codec's hex strings carry
+    them if a corpus needs that."""
+    bad = xml_illegal_char(text)
+    if bad is not None:
+        raise ValueError(
+            f"text is not XML-1.0-representable (contains {bad!r}); "
+            "a real .docx has the same limit — use the PDF codec"
+        )
     paras = "".join(
         f'<w:p><w:r><w:t xml:space="preserve">{_xml_escape(line)}</w:t></w:r></w:p>'
         for line in text.split("\n")

@@ -82,6 +82,59 @@ def test_pdf_roundtrip_and_foreign_shapes():
         minidoc.decode_pdf(b"not a pdf")
 
 
+def test_pdf_stream_slicing_honors_length():
+    """Round-3 regression: the decoder must slice stream data by /Length,
+    not by regex-trimming EOLs before ``endstream``.
+
+    1. A compressed payload whose LAST byte is 0x0D ('\\r'): the encoder
+       appends '\\n' after it, so the old trim logic saw a trailing
+       b'\\r\\n' and stripped BOTH bytes, truncating the deflate stream
+       (~1/256 of documents; VERDICT r3 "What's wrong" #1).
+    2. Data containing the literal bytes b'endstream' mid-stream: a
+       non-greedy ``.*?endstream`` capture truncates there; /Length
+       slicing must not.
+    3. The no-Length fallback still trims exactly one trailing EOL.
+    """
+    # (1) zlib payload ending 0x0D — found by search, deterministic
+    t = "doc 10799"
+    blob = minidoc.encode_pdf(t)
+    import zlib as _z
+
+    content = _z.compress(
+        b"\n".join(
+            [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td",
+             minidoc._pdf_hex_string(t) + b" Tj", b"ET"]
+        )
+    )
+    assert content[-1] == 0x0D  # the trigger byte, pinned
+    assert minidoc.decode_pdf(blob) == t
+
+    # (2) 'endstream' bytes inside /Length-sliced data
+    body = b"BT (before) Tj ET endstream BT (after) Tj ET"
+    raw = (
+        b"%PDF-1.1\n1 0 obj\n<< /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n"
+    )
+    assert minidoc.decode_pdf(raw) == "before\nafter"
+
+    # (3) no-Length fallback: single trailing EOL trimmed, \r-final data ok
+    raw2 = (
+        b"%PDF-1.1\n1 0 obj\n<< >>\nstream\n"
+        b"BT (plain) Tj ET\r\nendstream\nendobj\n"
+    )
+    assert minidoc.decode_pdf(raw2) == "plain"
+
+    # indirect /Length (e.g. '/Length 6 0 R') must NOT be parsed as direct
+    raw3 = (
+        b"%PDF-1.1\n1 0 obj\n<< /Length 6 0 R >>\nstream\n"
+        b"BT (indirect) Tj ET\nendstream\nendobj\n"
+    )
+    assert minidoc.decode_pdf(raw3) == "indirect"
+
+
 def test_docx_roundtrip_and_corruption():
     for t in ["Jane Smith founded TechStart.", "p1\np2", "a & b < c > d"]:
         assert minidoc.decode_docx(minidoc.encode_docx(t)) == t
@@ -89,8 +142,28 @@ def test_docx_roundtrip_and_corruption():
         minidoc.decode_docx(b"garbage bytes")
 
 
+def test_docx_rejects_xml_illegal_text_and_fixture_falls_back():
+    """XML 1.0 cannot carry C0 controls / \\r / #xFFFE / #xFFFF —
+    encode_docx must fail fast with ValueError (not an uncaught
+    ElementTree ParseError at decode, not a silent mis-round-trip), and
+    the fixture router must send such documents to the PDF codec."""
+    for bad in ["bell \x07 char", "\x00", "cr\rlf", "esc\x1b", "￾", "￿"]:
+        with pytest.raises(ValueError, match="XML-1.0"):
+            minidoc.encode_docx(bad)
+        # doc_id % 4 == 3 routes to docx; illegal text falls back to pdf
+        assert binary.fixture_format(3, bad) == "pdf"
+        # ...and the PDF codec carries the same text fine (except \r,
+        # which the pdf hex path also round-trips byte-exact)
+        assert minidoc.decode_pdf(minidoc.encode_pdf(bad)) == bad
+    # XML-LEGAL edge characters must still round-trip through docx:
+    # TAB, DEL, C1 controls (NEL), surrogate-adjacent, BMP max
+    for ok in ["tab\there", "del\x7f", "nel\x85", "퟿", "�"]:
+        assert binary.fixture_format(3, ok) == "docx"
+        assert minidoc.decode_docx(minidoc.encode_docx(ok)) == ok
+
+
 try:
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     def _lines(alphabet):
@@ -107,15 +180,26 @@ try:
         )
     )
     # XML 1.0 cannot represent C0 control characters AT ALL (even escaped) —
-    # a real .docx has the same limit, so the docx contract is XML-legal text
+    # a real .docx has the same limit, so the docx contract is XML-legal
+    # text.  Alphabet widened (r4) to everything XML 1.0 CAN carry: TAB,
+    # DEL, the C1 range (\x80-\x9f incl. NEL), surrogate-adjacent
+    # \ud7ff/\ue000 and \ufffd are all IN; encode_docx rejects the rest
+    # up front (test_docx_rejects_xml_illegal_text_and_fixture_falls_back).
     _docx_lines = _lines(
         st.characters(
-            blacklist_categories=("Cs", "Cc"),
-            blacklist_characters="  ",
+            blacklist_categories=("Cs",),
+            blacklist_characters=(
+                "".join(chr(c) for c in range(0x20) if c != 0x09)
+                + "\ufffe\uffff  "
+            ),
         )
     )
 
     @given(_pdf_lines)
+    # pinned: compressed payload ends 0x0D — the r3 falsifier class (the
+    # old EOL-trim stripped 2 bytes and truncated the deflate stream)
+    @example("doc 10799")
+    @example("doc 10889")
     @settings(max_examples=60, deadline=None)
     def test_pdf_codec_roundtrip_property(t):
         assert minidoc.decode_pdf(minidoc.encode_pdf(t)) == t

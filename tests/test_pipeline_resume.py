@@ -226,3 +226,24 @@ def test_canonicalize_tail_merges_aliases(spark):
         assert len(objs) == 1  # both docs' objects rewrote to ONE canonical label
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_append_lineage_accepts_file_uri(spark):
+    """append_lineage handles filesystem-URI out_dirs, not only bare local
+    paths (round-3 advisory: the pyarrow rewrite must keep working for
+    Hadoop-compatible FS URIs).  file:// exercises the URI branch offline;
+    s3://, hdfs:// and gcs:// take the same pyarrow.fs route."""
+    import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="kgx_lin_uri_")
+    try:
+        started = dt.datetime.now(dt.timezone.utc)
+        rows = [{"bucket": 0, "docs": 3, "nodes": 5, "edges": 2, "triples": 2}]
+        lin.append_lineage(spark, f"file://{d}", "run-uri", rows, started)
+        got = lin.read_lineage(spark, d).collect()
+        assert [(r["bucket"], r["docs"], r["status"]) for r in got] == [(0, 3, "done")]
+        # bare-path append lands in the same lineage table
+        lin.append_lineage(spark, d, "run-bare", rows, started)
+        assert lin.read_lineage(spark, d).count() == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
