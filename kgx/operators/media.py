@@ -1,10 +1,19 @@
-"""Multimodal span plumbing — typed metadata + decode/feature stubs.
+"""Multimodal span plumbing — typed metadata + decode/feature stages.
 
 Media spans are opaque references with typed metadata; the Spark-side
-contract (schema, partitioning, Arrow batch shape) is real and tested, while
-byte-level decode is stubbed: the sandbox has no image/audio libraries, so
-``decode_media`` raises ``NotImplementedError`` unless the deterministic
-fake decoder is requested (used by tests and the metadata oracle).
+contract (schema, partitioning, Arrow batch shape) is real and tested.
+Byte-level decode comes in two tiers:
+
+* ``decode_media_bytes`` — LIVE decode of real image bytes for the two
+  uncompressed raster formats the stdlib can carry (BMP and binary PPM,
+  kgx.sources.miniimage — the same generator+parser de-stubbing approach
+  minidoc took for PDF/DOCX).  ``synthesize_media_blobs`` materializes a
+  deterministic binary column (the sandbox stand-in for an object-store
+  fetch) so the full bytes-through-Arrow → parse → feature path runs and
+  is oracle-checked end-to-end.
+* ``decode_media(fake=True)`` — deterministic md5-derived features for
+  formats whose codecs are absent offline (png/jpg/mp4/wav); the
+  ``fake=False`` signature raises ``NotImplementedError`` for those.
 
 At scale the decode stage is exactly this ``mapInPandas`` shape: binary
 columns stream through Arrow batches, the Python worker calls the codec, and
@@ -71,8 +80,9 @@ def decode_media(inventory: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "use fake=True or plug a real decoder here"
+                    "png/jpg/mp4/wav codecs unavailable in this environment; "
+                    "use fake=True, or decode_media_bytes for the LIVE "
+                    "stdlib BMP/PPM path over a binary column"
                 )
             feats, frames = [], []
             for ref in pdf["media_ref"].tolist():
@@ -91,6 +101,96 @@ def decode_media(inventory: DataFrame, fake: bool = False) -> DataFrame:
     return inventory.select("doc_id", "media_ref").mapInPandas(
         _decode, schema=DECODED_SCHEMA
     )
+
+
+BLOB_SCHEMA = "doc_id string, media_ref string, content binary"
+
+DECODED_REAL_SCHEMA = (
+    "doc_id string, media_ref string, format string, width int, height int, "
+    "mean_r int, mean_g int, mean_b int"
+)
+
+
+def _md5_60(s: str) -> int:
+    """Python twin of kgx.functions.hashing.spark_md5_60 / duckdb_md5_60."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def synthesize_media_blobs(inventory: DataFrame) -> DataFrame:
+    """Deterministic real image bytes per media span — the sandbox
+    stand-in for fetching the object-store blob a media_ref points at.
+
+    Every property derives from the span's md5-60 hash (the shared
+    cross-engine derivation, kgx.functions.hashing), so the DuckDB oracle
+    recomputes what the decoder must read back: width ``1 + h % 31``,
+    height ``1 + (h DIV 31) % 23``, a solid fill color ``(h % 256,
+    h DIV 256 % 256, h DIV 65536 % 256)``, and the container format by hash
+    parity (even → BMP, odd → PPM).  Solid fill keeps the oracle exact —
+    per-channel mean == the fill value — while the decoder itself is
+    format-general (gradient images are covered by unit tests)."""
+    from kgx.sources import miniimage
+
+    def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for ref in pdf["media_ref"].tolist():
+                h = _md5_60(ref)
+                w = 1 + h % 31
+                ht = 1 + (h // 31) % 23
+                color = (h % 256, (h // 256) % 256, (h // 65536) % 256)
+                pixels = [[color] * w for _ in range(ht)]
+                enc = miniimage.encode_bmp if h % 2 == 0 else miniimage.encode_ppm
+                blobs.append(enc(pixels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "media_ref": pdf["media_ref"],
+                    "content": blobs,
+                }
+            )
+
+    return inventory.select("doc_id", "media_ref").mapInPandas(
+        _blobs, schema=BLOB_SCHEMA
+    )
+
+
+def decode_media_bytes(blobs: DataFrame) -> DataFrame:
+    """LIVE image decode over a binary column: magic-sniffing stdlib
+    BMP/PPM parse (kgx.sources.miniimage.sniff_decode) → dimensions and
+    exact integer per-channel means.  This is the production decode
+    signature — real bytes in, parsed features out, one Arrow crossing —
+    with no fake path; unsupported magic raises so corrupt blobs surface
+    instead of emitting garbage (same contract as the document codecs)."""
+    from kgx.sources import miniimage
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, mr, mg, mb = [], [], [], [], [], []
+            for blob in pdf["content"].tolist():
+                fmt, pixels = miniimage.sniff_decode(bytes(blob))
+                r, g, b = miniimage.channel_means(pixels)
+                fmts.append(fmt)
+                ws.append(len(pixels[0]))
+                hs.append(len(pixels))
+                mr.append(r)
+                mg.append(g)
+                mb.append(b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "format": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    return blobs.mapInPandas(_decode, schema=DECODED_REAL_SCHEMA)
 
 
 FRAME_SCHEMA = (

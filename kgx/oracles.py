@@ -1156,6 +1156,30 @@ FROM inv
 """.strip()
 
 
+def media_decode_real_sql() -> str:
+    """Oracle for the LIVE BMP/PPM decode: blob synthesis derives every
+    property (dims, solid fill color, container format) from the shared
+    md5-60 hash of media_ref (kgx.operators.media.synthesize_media_blobs),
+    so the decoded-back values are recomputable without touching bytes —
+    the Spark side must round-trip encode → Arrow binary column → stdlib
+    parse to produce them."""
+    inv = media_inventory_sql()
+    h = _duck_md5_60("media_ref")
+    return f"""
+WITH inv AS (
+{inv}
+)
+SELECT doc_id, media_ref,
+       CASE WHEN {h} % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CAST(1 + {h} % 31 AS INT) AS width,
+       CAST(1 + ({h} // 31) % 23 AS INT) AS height,
+       CAST({h} % 256 AS INT) AS mean_r,
+       CAST(({h} // 256) % 256 AS INT) AS mean_g,
+       CAST(({h} // 65536) % 256 AS INT) AS mean_b
+FROM inv
+""".strip()
+
+
 def media_frames_sql(fps: int = 4) -> str:
     """Oracle for the fake frame sampler: per-video frame count is the same
     md5-byte-5 formula as media_decode_sql's ``frames``, frame bytes are
