@@ -50,7 +50,15 @@ SECTIONS = [
     ("dedup_clusters",
      "Corpus keep-one dedup: LSH-bucketed pair graph (skew-capped band "
      "join), connected components over pairs only, then a doc_id equi-join "
-     "back to the corpus — no CartesianProduct at any stage."),
+     "back to the corpus — no CartesianProduct at any stage.  Round 4: the "
+     "hashed-shingle table is localCheckpointed once (an ExistingRDD scan "
+     "below) and feeds the signature aggregate plus both verification join "
+     "sides — the tokenize+shingle+md5 pass runs once, not three times."),
+    ("media_decode_real",
+     "LIVE image decode (round 4): blob synthesis and the stdlib BMP/PPM "
+     "parse are two MapInPandas nodes in one pipelined stage over a "
+     "2-column pruned projection — binary bytes stream through Arrow, "
+     "zero exchanges."),
     ("pii_scrub",
      "PII redaction cascade + audit counts in one codegen projection — "
      "zero exchanges; the pass can front the raw corpus scan."),
