@@ -107,16 +107,11 @@ def encode_pdf(text: str) -> bytes:
 _STREAM_START_RX = re.compile(rb"<<(?P<dict>.*?)>>\s*stream(?:\r\n|\r|\n)", re.DOTALL)
 #: direct /Length value; the lookahead rejects indirect refs (``6 0 R``)
 _LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
-#: literal string (handles \-escapes incl. escaped parens) or hex string
-_STRING_RX = re.compile(rb"\((?P<lit>(?:\\.|[^\\()])*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>")
 _BT_RX = re.compile(rb"BT(?P<body>.*?)ET", re.DOTALL)
-#: a string operand (group 0 of _STRING_RX) followed by a show operator;
-#: TJ arrays are handled separately
-_SHOW_RX = re.compile(
-    rb"(?P<s>\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)\s*(?P<op>Tj|')"
-    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ",
-    re.DOTALL,
-)
+
+#: PDF delimiter characters (ISO 32000 §7.2.2); regular-token runs stop here
+_PDF_DELIMS = b"()<>[]{}/%"
+_PDF_WS = b"\x00\t\n\x0c\r "
 
 _LIT_ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -153,6 +148,104 @@ def _decode_pdf_string(tok: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
+def _literal_span(body: bytes, i: int) -> int:
+    """End index (exclusive, past the closing paren) of the literal string
+    starting at ``body[i] == b'('``.  Depth scanner per ISO 32000 §7.3.4.2:
+    BALANCED unescaped parentheses are legal inside a literal string, so a
+    regex cannot delimit it — ``(a (b) c)`` is ONE string."""
+    depth, j = 1, i + 1
+    while j < len(body):
+        c = body[j]
+        if c == 0x5C:  # backslash: the escaped byte never affects depth
+            j += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    raise ValueError("unterminated literal string in content stream")
+
+
+def _show_lines(body: bytes) -> list[str]:
+    """Text shown inside one BT…ET block, one entry per show operator.
+
+    A small token scanner (not a regex — see :func:`_literal_span`):
+    strings and arrays are tracked as the pending operand; the show
+    operators ``Tj`` / ``'`` / ``"`` emit the last string as a line and
+    ``TJ`` emits its array's strings concatenated (kern numbers between
+    them never split lines).  Comments skip to EOL, every other token
+    (names, numbers, other operators) just clears a stale pending array.
+    """
+    lines: list[str] = []
+    last: str | None = None  # most recent scalar string operand
+    arr: list[str] | None = None  # open [ … ] accumulator
+    pending_arr: list[str] | None = None  # closed array awaiting TJ
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c in _PDF_WS:
+            i += 1
+        elif c == b"(":
+            end = _literal_span(body, i)
+            s = _decode_pdf_string(body[i:end])
+            if arr is not None:
+                arr.append(s)
+            else:
+                last = s
+            i = end
+        elif c == b"<":
+            if body[i + 1 : i + 2] == b"<":  # inline dict (e.g. BDC): skip
+                i += 2
+                continue
+            end = body.find(b">", i + 1)
+            if end == -1:
+                raise ValueError("unterminated hex string in content stream")
+            s = _decode_pdf_string(body[i : end + 1])
+            if arr is not None:
+                arr.append(s)
+            else:
+                last = s
+            i = end + 1
+        elif c == b"[":
+            arr, i = [], i + 1
+        elif c == b"]":
+            pending_arr, arr = arr, None
+            i += 1
+        elif c == b"%":  # comment: to end of line
+            nl = body.find(b"\n", i)
+            i = len(body) if nl == -1 else nl + 1
+        elif c in (b"'", b'"'):  # move-and-show operators
+            if last is not None:
+                lines.append(last)
+            i += 1
+        elif c in b")>":  # stray delimiter (malformed): skip
+            i += 1
+        elif c in _PDF_DELIMS:  # { } / — skip the delimiter itself
+            i += 1
+        else:
+            j = i
+            while (
+                j < len(body)
+                and body[j : j + 1] not in _PDF_DELIMS
+                and body[j : j + 1] not in _PDF_WS
+                and body[j : j + 1] not in b"'\""
+            ):
+                j += 1
+            tok = body[i:j]
+            if tok == b"Tj":
+                if last is not None:
+                    lines.append(last)
+            elif tok == b"TJ":
+                if pending_arr is not None:
+                    lines.append("".join(pending_arr))
+            pending_arr = None  # any operator consumes/invalidates the array
+            i = j
+    return lines
+
+
 def decode_pdf(blob: bytes) -> str:
     """Extract the text shown by every content stream, one line per
     ``Tj``/``'`` show (PyPDF2-equivalent for line-oriented layouts).
@@ -163,12 +256,11 @@ def decode_pdf(blob: bytes) -> str:
     an ``endstream`` search with a single trailing-EOL trim (the EOL
     before ``endstream`` belongs to the keyword, not the data).
 
-    Known foreign-PDF limitation: literal strings containing BALANCED
-    UNESCAPED parentheses — spec-legal, ``(a (b) c)`` — are matched only
-    up to the first inner ``)`` by the regex tokenizer, so such text is
-    truncated/garbled.  Our own encoder is unaffected (it emits hex
-    strings exclusively), and mainstream writers escape inner parens;
-    full support needs a paren-depth scanner in place of ``_STRING_RX``.
+    Content-stream text is tokenized by a small scanner
+    (:func:`_show_lines`), not a regex, so spec-legal literal strings with
+    BALANCED UNESCAPED parentheses — ``(a (b) c)`` — decode intact, and
+    comments / inline dicts / kern numbers are skipped by grammar rather
+    than by pattern luck.
     """
     if not blob.startswith(b"%PDF-"):
         raise ValueError("bad PDF magic (missing %PDF- header)")
@@ -203,17 +295,7 @@ def decode_pdf(blob: bytes) -> str:
             except zlib.error as e:
                 raise ValueError(f"corrupt FlateDecode stream: {e}") from e
         for bt in _BT_RX.finditer(data):
-            for show in _SHOW_RX.finditer(bt.group("body")):
-                if show.group("arr") is not None:
-                    # TJ array: concatenate its string elements (kern
-                    # numbers interleave but never split lines)
-                    parts = [
-                        _decode_pdf_string(s.group(0))
-                        for s in _STRING_RX.finditer(show.group("arr"))
-                    ]
-                    lines.append("".join(parts))
-                else:
-                    lines.append(_decode_pdf_string(show.group("s")))
+            lines.extend(_show_lines(bt.group("body")))
     return "\n".join(lines)
 
 

@@ -82,6 +82,41 @@ def test_pdf_roundtrip_and_foreign_shapes():
         minidoc.decode_pdf(b"not a pdf")
 
 
+def test_pdf_scanner_handles_balanced_parens_comments_and_quote_ops():
+    """The content-stream tokenizer is a grammar scanner (round 4), not a
+    regex: spec-legal literal strings with BALANCED unescaped parens decode
+    intact (ISO 32000 §7.3.4.2 — the round-3 advisory's foreign-PDF gap),
+    %-comments skip to EOL, inline dicts are ignored, and the ' / "
+    move-and-show operators emit lines like Tj."""
+    body = (
+        b"BT\n"
+        b"% a comment with (parens) and Tj inside\n"
+        b"(a (b (c)) d) Tj\n"
+        b"(escaped \\( still fine) Tj\n"
+        b"(q1) ' (q2) \"\n"
+        b"/F1 12 Tf <48 69> Tj\n"
+        b"[(ker)-120((n)ed)] TJ\n"
+        b"ET\n"
+    )
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+    )
+    assert minidoc.decode_pdf(raw) == (
+        "a (b (c)) d\nescaped ( still fine\nq1\nq2\nHi\nker(n)ed"
+    )
+    # unterminated literal string must surface, not silently truncate
+    bad = b"BT (never closed Tj ET"
+    raw_bad = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(bad)).encode()
+        + b" >>\nstream\n" + bad + b"\nendstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="unterminated literal"):
+        minidoc.decode_pdf(raw_bad)
+
+
 def test_pdf_stream_slicing_honors_length():
     """Round-3 regression: the decoder must slice stream data by /Length,
     not by regex-trimming EOLs before ``endstream``.
