@@ -193,6 +193,82 @@ def decode_media_bytes(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_decode, schema=DECODED_REAL_SCHEMA)
 
 
+AUDIO_DECODED_SCHEMA = (
+    "doc_id string, media_ref string, channels int, sample_rate int, "
+    "n_frames int, duration_ms bigint, peak int, mean_abs int"
+)
+
+
+def synthesize_audio_blobs(inventory: DataFrame) -> DataFrame:
+    """Deterministic real WAV bytes per AUDIO span (media_type == 'audio')
+    — the audio twin of :func:`synthesize_media_blobs`.  Every property
+    derives from the span's md5-60 hash: mono/stereo by parity, frame
+    count ``160 + h % 800`` at 8 kHz, and a ±A square wave with amplitude
+    ``1000 + (h DIV 7) % 20000`` — so the decoded peak and mean(|sample|)
+    both equal A exactly and the DuckDB oracle recomputes every feature
+    without touching bytes.  Arbitrary waveforms are covered by unit
+    tests; the square wave is the oracle-exact gate shape."""
+    from kgx.sources import miniwav
+
+    def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for ref in pdf["media_ref"].tolist():
+                h = _md5_60(ref)
+                channels = 1 + h % 2
+                n_frames = 160 + h % 800
+                amp = 1000 + (h // 7) % 20000
+                frames = [amp if i % 2 == 0 else -amp for i in range(n_frames)]
+                samples = (
+                    frames if channels == 1
+                    else [v for v in frames for _ in range(2)]
+                )
+                blobs.append(miniwav.encode_wav(samples, 8000, channels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "media_ref": pdf["media_ref"],
+                    "content": blobs,
+                }
+            )
+
+    return (
+        inventory.where(F.col("media_type") == "audio")
+        .select("doc_id", "media_ref")
+        .mapInPandas(_blobs, schema=BLOB_SCHEMA)
+    )
+
+
+def decode_audio_bytes(blobs: DataFrame) -> DataFrame:
+    """LIVE audio decode over a binary column: stdlib RIFF/PCM parse
+    (kgx.sources.miniwav.decode_wav) → exact-integer features (channels,
+    rate, frames, duration, peak, mean |sample|).  Real bytes in, parsed
+    features out, one Arrow crossing, no fake path — corrupt blobs raise."""
+    from kgx.sources import miniwav
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "channels", "sample_rate", "n_frames",
+                    "duration_ms", "peak", "mean_abs",
+                )
+            }
+            for blob in pdf["content"].tolist():
+                feats = miniwav.decode_wav(bytes(blob))
+                for k in cols:
+                    cols[k].append(feats[k])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    **cols,
+                }
+            )
+
+    return blobs.mapInPandas(_decode, schema=AUDIO_DECODED_SCHEMA)
+
+
 FRAME_SCHEMA = (
     "doc_id string, media_ref string, frame_idx int, ts_ms bigint, frame binary"
 )

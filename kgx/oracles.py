@@ -1180,6 +1180,35 @@ FROM inv
 """.strip()
 
 
+def audio_decode_real_sql() -> str:
+    """Oracle for the LIVE WAV decode: blob synthesis derives every audio
+    property from the shared md5-60 hash of media_ref
+    (kgx.operators.media.synthesize_audio_blobs) — mono/stereo by parity,
+    ``160 + h % 800`` frames at 8 kHz, square-wave amplitude
+    ``1000 + (h // 7) % 20000`` (so peak == mean_abs == A exactly).  The
+    Spark side must round-trip encode → Arrow binary column → stdlib RIFF
+    parse to produce these values."""
+    inv = media_inventory_sql()
+    h = _duck_md5_60("media_ref")
+    return f"""
+WITH inv AS (
+{inv}
+),
+a AS (
+    SELECT doc_id, media_ref, {h} AS h
+    FROM inv WHERE media_type = 'audio'
+)
+SELECT doc_id, media_ref,
+       CAST(1 + h % 2 AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(160 + h % 800 AS INT) AS n_frames,
+       CAST((160 + h % 800) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(1000 + (h // 7) % 20000 AS INT) AS peak,
+       CAST(1000 + (h // 7) % 20000 AS INT) AS mean_abs
+FROM a
+""".strip()
+
+
 def media_frames_sql(fps: int = 4) -> str:
     """Oracle for the fake frame sampler: per-video frame count is the same
     md5-byte-5 formula as media_decode_sql's ``frames``, frame bytes are
