@@ -752,6 +752,30 @@ def q_audio_decode_real(spark, sf_dir):
     return media.decode_audio_bytes(media.synthesize_audio_blobs(inv))
 
 
+def q_video_decode_real(spark, sf_dir):
+    """LIVE video decode over real bytes (NEW r4): deterministic
+    uncompressed AVI containers synthesized per video span flow through
+    Arrow as a binary column and are parsed back by the stdlib RIFF/AVI
+    codec (kgx.sources.miniavi) — no fake path.  The oracle recomputes
+    dims / fps / frame count / whole-video channel means from the shared
+    md5-60 derivation (solid per-frame fills make the floor-means exact)."""
+    from kgx.operators import media, spans as spans_op
+
+    inv = media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
+    return media.decode_video_bytes(media.synthesize_video_blobs(inv))
+
+
+def q_video_frames_real(spark, sf_dir):
+    """LIVE 1→N frame explode over real video bytes (NEW r4): each AVI row
+    yields one row per contained frame with exact integer timestamps and
+    per-frame channel means — the real-codec counterpart of the fake
+    `media_frames` sampler, same Arrow streaming shape."""
+    from kgx.operators import media, spans as spans_op
+
+    inv = media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
+    return media.video_frame_means(media.synthesize_video_blobs(inv))
+
+
 def q_media_frames(spark, sf_dir):
     """Video frame sampling through the 1→N Arrow explode path (fake frame
     synthesis; counts agree with media_decode's frames column).  Binary
@@ -1120,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_fake": q_media_decode_fake,
         "media_decode_real": q_media_decode_real,
         "audio_decode_real": q_audio_decode_real,
+        "video_decode_real": q_video_decode_real,
+        "video_frames_real": q_video_frames_real,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "emb_kmeans": q_emb_kmeans,
@@ -1200,6 +1226,8 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_fake": oracles.media_decode_sql(),
         "media_decode_real": oracles.media_decode_real_sql(),
         "audio_decode_real": oracles.audio_decode_real_sql(),
+        "video_decode_real": oracles.video_decode_real_sql(),
+        "video_frames_real": oracles.video_frames_real_sql(),
         "media_frames": oracles.media_frames_sql(),
         "media_resize": oracles.media_resize_sql(),
         "emb_kmeans": oracles.emb_kmeans_sql(rounds=2, target_cluster_size=64),

@@ -269,6 +269,159 @@ def decode_audio_bytes(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_decode, schema=AUDIO_DECODED_SCHEMA)
 
 
+VIDEO_DECODED_SCHEMA = (
+    "doc_id string, media_ref string, format string, width int, height int, "
+    "fps int, n_frames int, duration_ms bigint, mean_r int, mean_g int, "
+    "mean_b int"
+)
+
+FRAME_REAL_SCHEMA = (
+    "doc_id string, media_ref string, frame_idx int, ts_ms bigint, "
+    "mean_r int, mean_g int, mean_b int"
+)
+
+#: fps choices for synthesized videos — every value divides 1000, so
+#: duration_ms and per-frame ts_ms are exact integers on both engines
+VIDEO_FPS_CHOICES = (4, 5, 8, 10, 20, 25)
+
+
+def synthesize_video_blobs(inventory: DataFrame) -> DataFrame:
+    """Deterministic real AVI bytes per VIDEO span (media_type == 'video')
+    — the video member of the :func:`synthesize_media_blobs` family.
+    Every property derives from the span's md5-60 hash ``h``: width
+    ``1 + h % 15``, height ``1 + (h DIV 31) % 11``, fps
+    ``VIDEO_FPS_CHOICES[h % 6]``, ``2 + (h DIV 7) % 9`` frames, and frame
+    ``i`` is a solid fill ``((h + 37*i) % 256, (h DIV 256 + 53*i) % 256,
+    (h DIV 65536 + 71*i) % 256)`` — so per-frame channel means equal the
+    fill exactly and the whole-video floor-means reduce to
+    ``sum(color_i) DIV n`` (the per-pixel count cancels), all recomputable
+    by the DuckDB oracle without touching bytes.  Arbitrary frames are
+    covered by the codec's unit/property tests; solid fills are the
+    oracle-exact gate shape."""
+    from kgx.sources import miniavi
+
+    def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for ref in pdf["media_ref"].tolist():
+                h = _md5_60(ref)
+                w = 1 + h % 15
+                ht = 1 + (h // 31) % 11
+                fps = VIDEO_FPS_CHOICES[h % 6]
+                n = 2 + (h // 7) % 9
+                frames = []
+                for i in range(n):
+                    color = (
+                        (h + 37 * i) % 256,
+                        (h // 256 + 53 * i) % 256,
+                        (h // 65536 + 71 * i) % 256,
+                    )
+                    frames.append([[color] * w for _ in range(ht)])
+                blobs.append(miniavi.encode_avi(frames, fps))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "media_ref": pdf["media_ref"],
+                    "content": blobs,
+                }
+            )
+
+    return (
+        inventory.where(F.col("media_type") == "video")
+        .select("doc_id", "media_ref")
+        .mapInPandas(_blobs, schema=BLOB_SCHEMA)
+    )
+
+
+def decode_video_bytes(blobs: DataFrame) -> DataFrame:
+    """LIVE video decode over a binary column: stdlib RIFF/AVI parse
+    (kgx.sources.miniavi.decode_avi) → container features plus exact
+    whole-video integer channel means (floor of the sum over every pixel
+    of every frame).  ``fps`` is rate DIV scale and ``duration_ms`` is
+    ``n * 1000 * scale DIV rate`` — exact for integer-fps files (all ours)
+    and still well-defined for NTSC-style rationals.  Real bytes in,
+    parsed features out, one Arrow crossing, no fake path — corrupt blobs
+    raise (same contract as the document/image/audio codecs)."""
+    from kgx.sources import miniavi
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "format", "width", "height", "fps", "n_frames",
+                    "duration_ms", "mean_r", "mean_g", "mean_b",
+                )
+            }
+            for blob in pdf["content"].tolist():
+                v = miniavi.decode_avi(bytes(blob))
+                n = len(v["frames"])
+                npx = n * v["width"] * v["height"]
+                sr = sg = sb = 0
+                for frame in v["frames"]:
+                    for row in frame:
+                        for r, g, b in row:
+                            sr += r
+                            sg += g
+                            sb += b
+                cols["format"].append("avi")
+                cols["width"].append(v["width"])
+                cols["height"].append(v["height"])
+                cols["fps"].append(v["rate"] // v["scale"])
+                cols["n_frames"].append(n)
+                cols["duration_ms"].append(n * 1000 * v["scale"] // v["rate"])
+                cols["mean_r"].append(sr // npx)
+                cols["mean_g"].append(sg // npx)
+                cols["mean_b"].append(sb // npx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    **cols,
+                }
+            )
+
+    return blobs.mapInPandas(_decode, schema=VIDEO_DECODED_SCHEMA)
+
+
+def video_frame_means(blobs: DataFrame) -> DataFrame:
+    """LIVE 1→N frame explode over real video bytes: each AVI row yields
+    one output row per frame with its timestamp and exact per-frame
+    integer channel means — the real-codec counterpart of
+    :func:`frame_sample`'s fake path, and the same worker-memory shape a
+    production sampler has (frames stream out through Arrow batches).
+    ``ts_ms = frame_idx * 1000 * scale DIV rate`` in exact integer
+    arithmetic."""
+    from kgx.sources import miniavi
+    from kgx.sources.miniimage import channel_means
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "doc_id", "media_ref", "frame_idx", "ts_ms",
+                    "mean_r", "mean_g", "mean_b",
+                )
+            }
+            for doc, ref, blob in zip(
+                pdf["doc_id"].tolist(),
+                pdf["media_ref"].tolist(),
+                pdf["content"].tolist(),
+            ):
+                v = miniavi.decode_avi(bytes(blob))
+                for i, frame in enumerate(v["frames"]):
+                    r, g, b = channel_means(frame)
+                    out["doc_id"].append(doc)
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * 1000 * v["scale"] // v["rate"])
+                    out["mean_r"].append(r)
+                    out["mean_g"].append(g)
+                    out["mean_b"].append(b)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_explode, schema=FRAME_REAL_SCHEMA)
+
+
 FRAME_SCHEMA = (
     "doc_id string, media_ref string, frame_idx int, ts_ms bigint, frame binary"
 )

@@ -1209,6 +1209,82 @@ FROM a
 """.strip()
 
 
+def _video_params_cte() -> str:
+    """inv → per-video derivation shared by the two live-video oracles:
+    mirrors kgx.operators.media.synthesize_video_blobs (width
+    ``1 + h % 15``, height ``1 + (h DIV 31) % 11``, fps from the
+    1000-divisor table by ``h % 6``, ``2 + (h DIV 7) % 9`` frames; frame
+    ``i`` solid fill ``((h + 37 i) % 256, (h DIV 256 + 53 i) % 256,
+    (h DIV 65536 + 71 i) % 256)``)."""
+    inv = media_inventory_sql()
+    h = _duck_md5_60("media_ref")
+    return f"""
+WITH inv AS (
+{inv}
+),
+v AS (
+    SELECT doc_id, media_ref, {h} AS h
+    FROM inv WHERE media_type = 'video'
+),
+p AS (
+    SELECT doc_id, media_ref, h,
+           1 + h % 15 AS width,
+           1 + (h // 31) % 11 AS height,
+           ([4, 5, 8, 10, 20, 25])[CAST(h % 6 AS INT) + 1] AS fps,
+           2 + (h // 7) % 9 AS n
+    FROM v
+)
+""".strip()
+
+
+def video_decode_real_sql() -> str:
+    """Oracle for the LIVE AVI decode: every container feature is
+    recomputed from the shared md5-60 derivation, and the whole-video
+    channel means reduce exactly — solid per-frame fills make the
+    per-pixel count cancel, leaving ``sum(color_i) // n``, evaluated here
+    as a list fold over ``range(n)``.  The Spark side must round-trip
+    encode → Arrow binary column → stdlib RIFF/AVI parse to produce
+    these values."""
+    return f"""
+{_video_params_cte()}
+SELECT doc_id, media_ref,
+       'avi' AS format,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(fps AS INT) AS fps,
+       CAST(n AS INT) AS n_frames,
+       CAST(n * 1000 // fps AS BIGINT) AS duration_ms,
+       CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+            i -> (h + 37 * i) % 256)) // n AS INT) AS mean_r,
+       CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+            i -> (h // 256 + 53 * i) % 256)) // n AS INT) AS mean_g,
+       CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+            i -> (h // 65536 + 71 * i) % 256)) // n AS INT) AS mean_b
+FROM p
+""".strip()
+
+
+def video_frames_real_sql() -> str:
+    """Oracle for the LIVE 1→N frame explode: one row per (video, frame)
+    with ``ts_ms = i * 1000 // fps`` and the frame's solid-fill channel
+    means from the shared derivation."""
+    return f"""
+{_video_params_cte()},
+f AS (
+    SELECT doc_id, media_ref, h, fps,
+           unnest(range(0, CAST(n AS INT))) AS i
+    FROM p
+)
+SELECT doc_id, media_ref,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 // fps AS BIGINT) AS ts_ms,
+       CAST((h + 37 * i) % 256 AS INT) AS mean_r,
+       CAST((h // 256 + 53 * i) % 256 AS INT) AS mean_g,
+       CAST((h // 65536 + 71 * i) % 256 AS INT) AS mean_b
+FROM f
+""".strip()
+
+
 def media_frames_sql(fps: int = 4) -> str:
     """Oracle for the fake frame sampler: per-video frame count is the same
     md5-byte-5 formula as media_decode_sql's ``frames``, frame bytes are
