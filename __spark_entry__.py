@@ -752,6 +752,21 @@ def q_audio_decode_real(spark, sf_dir):
     return media.decode_audio_bytes(media.synthesize_audio_blobs(inv))
 
 
+def q_media_resize_real(spark, sf_dir):
+    """LIVE thumbnailing over real bytes (NEW r4): synthesized BMP/PPM
+    blobs are decoded, nearest-neighbor aspect-fit resampled to 8×8, RE-
+    ENCODED in the same container, and decoded back — the whole loop on
+    real bytes, no fake path.  The oracle recomputes target dims from the
+    shared aspect-fit integer formula and the thumb means from the solid
+    fill (nearest-neighbor preserves solid fills exactly)."""
+    from kgx.operators import media, spans as spans_op
+
+    inv = media.media_inventory(spans_op.explode_spans(_spans(spark, sf_dir)))
+    return media.resize_media_real(
+        media.synthesize_media_blobs(inv), max_w=8, max_h=8
+    )
+
+
 def q_video_decode_real(spark, sf_dir):
     """LIVE video decode over real bytes (NEW r4): deterministic
     uncompressed AVI containers synthesized per video span flow through
@@ -1146,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_real": q_audio_decode_real,
         "video_decode_real": q_video_decode_real,
         "video_frames_real": q_video_frames_real,
+        "media_resize_real": q_media_resize_real,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "emb_kmeans": q_emb_kmeans,
@@ -1228,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode_real": oracles.audio_decode_real_sql(),
         "video_decode_real": oracles.video_decode_real_sql(),
         "video_frames_real": oracles.video_frames_real_sql(),
+        "media_resize_real": oracles.media_resize_real_sql(),
         "media_frames": oracles.media_frames_sql(),
         "media_resize": oracles.media_resize_sql(),
         "emb_kmeans": oracles.emb_kmeans_sql(rounds=2, target_cluster_size=64),

@@ -482,6 +482,75 @@ RESIZED_SCHEMA = (
     "out_width int, out_height int, thumb binary"
 )
 
+RESIZED_REAL_SCHEMA = (
+    "doc_id string, media_ref string, format string, width int, height int, "
+    "out_width int, out_height int, mean_r int, mean_g int, mean_b int"
+)
+
+
+def _aspect_fit(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-fit target dims, never upscaled — exact integer arithmetic
+    (floor-divide, min 1 px) shared by the fake and real resize paths so
+    their dimension contracts can't drift."""
+    if w <= max_w and h <= max_h:
+        return w, h
+    if w * max_h >= h * max_w:
+        return max_w, max(1, (h * max_w) // w)
+    return max(1, (w * max_h) // h), max_h
+
+
+def resize_media_real(
+    blobs: DataFrame, max_w: int = 8, max_h: int = 8
+) -> DataFrame:
+    """LIVE thumbnailing over a binary image column: stdlib decode →
+    nearest-neighbor aspect-fit resample → re-encode in the SAME container
+    → decode the thumbnail back and report its dims + exact integer channel
+    means.  The full encode→resize→re-encode→re-decode loop runs on real
+    bytes (kgx.sources.miniimage), so a malformed thumbnail container would
+    fail loudly rather than ship; solid-fill inputs keep their fill exactly
+    (nearest-neighbor takes existing pixels), which is what makes the
+    DuckDB oracle exact on the gate corpus."""
+    from kgx.sources import miniimage
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "format", "width", "height", "out_width", "out_height",
+                    "mean_r", "mean_g", "mean_b",
+                )
+            }
+            for blob in pdf["content"].tolist():
+                fmt, pixels = miniimage.sniff_decode(bytes(blob))
+                h = len(pixels)
+                w = len(pixels[0])
+                ow, oh = _aspect_fit(w, h, max_w, max_h)
+                enc = (
+                    miniimage.encode_bmp if fmt == "bmp"
+                    else miniimage.encode_ppm
+                )
+                _, thumb = miniimage.sniff_decode(
+                    enc(miniimage.nearest_resize(pixels, ow, oh))
+                )
+                r, g, b = miniimage.channel_means(thumb)
+                cols["format"].append(fmt)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["out_width"].append(len(thumb[0]))
+                cols["out_height"].append(len(thumb))
+                cols["mean_r"].append(r)
+                cols["mean_g"].append(g)
+                cols["mean_b"].append(b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    **cols,
+                }
+            )
+
+    return blobs.mapInPandas(_resize, schema=RESIZED_REAL_SCHEMA)
+
 
 def resize_media(
     inventory: DataFrame, max_w: int = 64, max_h: int = 64, fake: bool = False
@@ -508,13 +577,7 @@ def resize_media(
             for ref, w, h in zip(pdf["media_ref"].tolist(),
                                  pdf["width"].tolist(),
                                  pdf["height"].tolist()):
-                w, h = int(w), int(h)
-                if w <= max_w and h <= max_h:
-                    ow, oh = w, h
-                elif w * max_h >= h * max_w:
-                    ow, oh = max_w, max(1, (h * max_w) // w)
-                else:
-                    ow, oh = max(1, (w * max_h) // h), max_h
+                ow, oh = _aspect_fit(int(w), int(h), max_w, max_h)
                 ows.append(ow)
                 ohs.append(oh)
                 thumbs.append(

@@ -1209,6 +1209,47 @@ FROM a
 """.strip()
 
 
+def media_resize_real_sql(max_w: int = 8, max_h: int = 8) -> str:
+    """Oracle for the LIVE thumbnail loop: target dims replay the shared
+    aspect-fit integer formula (kgx.operators.media._aspect_fit) over the
+    synthesized dims ``1 + h % 31`` × ``1 + (h DIV 31) % 23``; thumb
+    channel means equal the solid fill because nearest-neighbor resampling
+    only selects existing pixels.  The Spark side must run decode →
+    resample → re-encode → re-decode on real bytes to produce them."""
+    inv = media_inventory_sql()
+    h = _duck_md5_60("media_ref")
+    return f"""
+WITH inv AS (
+{inv}
+),
+m AS (
+    SELECT doc_id, media_ref, {h} AS h FROM inv
+),
+d AS (
+    SELECT doc_id, media_ref, h,
+           1 + h % 31 AS w,
+           1 + (h // 31) % 23 AS ht
+    FROM m
+)
+SELECT doc_id, media_ref,
+       CASE WHEN h % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CAST(w AS INT) AS width,
+       CAST(ht AS INT) AS height,
+       CAST(CASE WHEN w <= {max_w} AND ht <= {max_h} THEN w
+                 WHEN w * {max_h} >= ht * {max_w} THEN {max_w}
+                 ELSE greatest(1, (w * {max_h}) // ht) END AS INT)
+           AS out_width,
+       CAST(CASE WHEN w <= {max_w} AND ht <= {max_h} THEN ht
+                 WHEN w * {max_h} >= ht * {max_w}
+                     THEN greatest(1, (ht * {max_w}) // w)
+                 ELSE {max_h} END AS INT) AS out_height,
+       CAST(h % 256 AS INT) AS mean_r,
+       CAST((h // 256) % 256 AS INT) AS mean_g,
+       CAST((h // 65536) % 256 AS INT) AS mean_b
+FROM d
+""".strip()
+
+
 def _video_params_cte() -> str:
     """inv → per-video derivation shared by the two live-video oracles:
     mirrors kgx.operators.media.synthesize_video_blobs (width

@@ -163,6 +163,23 @@ def sniff_decode(blob: bytes) -> tuple[str, Pixels]:
     raise ValueError(f"unrecognized image magic {blob[:2]!r}")
 
 
+def nearest_resize(pixels: Pixels, out_w: int, out_h: int) -> Pixels:
+    """Nearest-neighbor resample to ``out_w`` × ``out_h`` — pure integer
+    source indexing (``src = out_idx * in_dim DIV out_dim``), so the result
+    is deterministic across platforms and a solid-fill input stays exactly
+    solid (the property the resize oracle leans on)."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    if h == 0 or w == 0:
+        raise ValueError("empty pixel matrix")
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"bad output dimensions {out_w}x{out_h}")
+    return [
+        [pixels[ri * h // out_h][ci * w // out_w] for ci in range(out_w)]
+        for ri in range(out_h)
+    ]
+
+
 def channel_means(pixels: Pixels) -> tuple[int, int, int]:
     """Exact floor-divided per-channel means — integer arithmetic so the
     DuckDB oracle reproduces the values bit-for-bit."""

@@ -128,3 +128,53 @@ def test_decode_media_bytes_live_path(spark, sf_dir):
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
             h % 256, (h // 256) % 256, (h // 65536) % 256
         )
+
+
+def test_nearest_resize_semantics():
+    """Pin nearest-neighbor indexing: out[ri][ci] = in[ri*h//oh][ci*w//ow]."""
+    from kgx.sources.miniimage import nearest_resize
+
+    px = [[(ri * 10 + ci, 0, 0) for ci in range(4)] for ri in range(4)]
+    # 4x4 -> 2x2 picks rows/cols 0 and 2
+    assert nearest_resize(px, 2, 2) == [
+        [(0, 0, 0), (2, 0, 0)],
+        [(20, 0, 0), (22, 0, 0)],
+    ]
+    # identity when dims match
+    assert nearest_resize(px, 4, 4) == px
+    # down to a single pixel takes the top-left source pixel
+    assert nearest_resize(px, 1, 1) == [[(0, 0, 0)]]
+    # solid fill stays exactly solid at any target size
+    solid = [[(7, 8, 9)] * 5 for _ in range(3)]
+    assert nearest_resize(solid, 2, 7) == [[(7, 8, 9)] * 2 for _ in range(7)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        nearest_resize(px, 0, 2)
+
+
+def test_resize_media_real_live_loop(spark, sf_dir):
+    """End-to-end decode → aspect-fit resample → re-encode → re-decode on
+    real bytes: dims obey the shared _aspect_fit formula (never upscaled,
+    min 1 px) and solid fills survive exactly."""
+    from kgx.operators import media, spans as spans_op
+    from kgx.sources import docs as docs_src, corpus
+
+    sp = docs_src.spans_table(
+        corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
+    )
+    inv = media.media_inventory(spans_op.explode_spans(sp))
+    rows = media.resize_media_real(
+        media.synthesize_media_blobs(inv), max_w=8, max_h=8
+    ).collect()
+    assert len(rows) == inv.count() > 0
+    for r in rows[:50]:
+        h = media._md5_60(r["media_ref"])
+        assert (r["out_width"], r["out_height"]) == media._aspect_fit(
+            r["width"], r["height"], 8, 8
+        )
+        assert r["out_width"] <= 8 and r["out_height"] <= 8
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            h % 256, (h // 256) % 256, (h // 65536) % 256
+        )
