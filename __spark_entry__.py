@@ -427,6 +427,19 @@ def q_graph_pagerank(spark, sf_dir):
     return graphstats.pagerank(extract.triples_table(_graphs(spark, sf_dir)))
 
 
+def q_graph_label_prop(spark, sf_dir):
+    """Deterministic frequency-vote label propagation over the extracted
+    KG (NEW r4): the community-granularity sibling of the canonicalization
+    CC merge — per round one keyed join + count + per-node top-1 window,
+    tie-broken (votes DESC, community ASC) so the unrolled DuckDB oracle
+    matches bit-for-bit."""
+    from kgx.operators import extract, graphstats
+
+    return graphstats.label_propagation(
+        extract.triples_table(_graphs(spark, sf_dir)), iters=3
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle participation + degree over the undirected KG edge
     set (a<b<c two-equi-join enumeration; exact integers so downstream
@@ -1162,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_real": q_video_decode_real,
         "video_frames_real": q_video_frames_real,
         "media_resize_real": q_media_resize_real,
+        "graph_label_prop": q_graph_label_prop,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "emb_kmeans": q_emb_kmeans,
@@ -1209,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degrees": oracles.graph_degrees_sql(),
         "graph_pagerank": oracles.graph_pagerank_sql(),
         "graph_triangles": oracles.graph_triangles_sql(),
+        "graph_label_prop": oracles.graph_label_prop_sql(),
         "balanced_sample": oracles.balanced_sample_sql(),
         "contamination": oracles.contamination_sql(bench_mod=19, n=3),
         "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),

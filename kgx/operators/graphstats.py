@@ -111,6 +111,56 @@ def pagerank(
     return ranks
 
 
+def label_propagation(triples: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous frequency-vote label propagation (community detection)
+    over the UNDIRECTED distinct edge set: ``community_0(u) = u``;
+    ``community_{t+1}(u)`` = the most frequent community among u's
+    neighbors, ties broken by the LEXICOGRAPHICALLY SMALLEST label —
+    deterministic where textbook LPA is randomized, so Spark and the
+    DuckDB oracle agree bit-for-bit after any fixed round count.
+
+    This is the community-granularity sibling of the canonicalization
+    merge (kgx.operators.linking connected components): CC answers "which
+    mentions are the same entity" (min-label over similarity edges), LPA
+    answers "which entities cluster together" (densest-neighborhood vote
+    over KG edges) — different fixpoints, both driver-side loops of
+    fixed-shape distributed rounds.
+
+    Per round: one equi-join of the directed-both-ways edge list against
+    the (node, community) table, a (node, community) count aggregate, and
+    a per-node top-1 window — every stage keyed on node labels, nothing
+    wider than two label columns crosses an exchange, so at 10^12-doc
+    scale each round shuffles the edge list against a table orders of
+    magnitude smaller than the corpus.  Output: (label, community).
+    """
+    from pyspark.sql.window import Window
+
+    e = edge_list(triples)
+    und = e.union(
+        e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    labels = (
+        und.select(F.col("subj").alias("node")).distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("votes").desc(), F.col("community").asc()
+    )
+    for _ in range(iters):
+        labels = (
+            und.join(
+                labels.withColumnRenamed("node", "obj"), "obj"
+            )
+            .select(F.col("subj").alias("node"), "community")
+            .groupBy("node", "community")
+            .agg(F.count("*").alias("votes"))
+            .withColumn("rn", F.row_number().over(top1))
+            .where("rn = 1")
+            .select("node", "community")
+        )
+    return labels.select(F.col("node").alias("label"), "community")
+
+
 def triangle_counts(triples: DataFrame) -> DataFrame:
     """Per-node triangle participation over the UNDIRECTED distinct edge
     set: (label, triangles, degree) — clustering coefficient is

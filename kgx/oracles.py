@@ -1937,6 +1937,42 @@ SELECT label, rank FROM pr{iters}
 """.strip()
 
 
+def graph_label_prop_sql(iters: int = 3) -> str:
+    """Oracle for deterministic frequency-vote label propagation (mirror
+    of kgx.operators.graphstats.label_propagation): undirected distinct
+    edges, per round a neighbor-community count with a (votes DESC,
+    community ASC) top-1 — the tie-break that makes textbook LPA
+    deterministic — unrolled into chained CTEs lp0..lp{iters}."""
+    ctes = [
+        "lp_und AS MATERIALIZED (SELECT subj, obj FROM gr_edges UNION "
+        "SELECT obj, subj FROM gr_edges)",
+        "lp0 AS (SELECT DISTINCT subj AS node, subj AS community FROM lp_und)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+lpv{i} AS (
+    SELECT e.subj AS node, l.community, count(*) AS votes
+    FROM lp_und e JOIN lp{i} l ON l.node = e.obj
+    GROUP BY 1, 2
+),
+lp{i + 1} AS (
+    SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY votes DESC, community ASC
+               ) AS rn
+        FROM lpv{i}
+    ) WHERE rn = 1
+)
+""".strip())
+    joined = ",\n".join(ctes)
+    return f"""
+{_graph_edges_ctes()},
+{joined}
+SELECT node AS label, community FROM lp{iters}
+""".strip()
+
+
 def graph_triangles_sql() -> str:
     """Oracle for per-node triangle participation (mirror of
     kgx.operators.graphstats.triangle_counts: canonical undirected edges,

@@ -174,3 +174,66 @@ def test_pagerank_mass_bounds_and_dup_invariance(spark):
     # doc-level duplicate triples must not change the distinct edge graph
     dup = _triples_df(spark, edges + edges[: len(edges) // 2])
     assert {r.label: r.rank for r in graphstats.pagerank(dup).collect()} == ranks
+
+
+def _py_lpa(edges, iters=3):
+    """Driver-side reference: synchronous frequency-vote LPA with the
+    (votes DESC, community ASC) tie-break, plain dicts."""
+    und = sorted({(u, v) for u, v in set(edges)} | {(v, u) for u, v in set(edges)})
+    nodes = sorted({u for u, _ in und})
+    nbrs = {n: [] for n in nodes}
+    for u, v in und:
+        nbrs[u].append(v)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            votes = {}
+            for v in nbrs[n]:
+                votes[lab[v]] = votes.get(lab[v], 0) + 1
+            new[n] = min(votes, key=lambda c: (-votes[c], c))
+        lab = new
+    return lab
+
+
+def test_label_prop_two_planted_communities(spark):
+    # two 4-cliques joined by ONE bridge edge: after 3 rounds each clique
+    # converges to its own min label, and the bridge doesn't merge them
+    left = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    right = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    edges = left + right + [("d", "w")]
+    got = {
+        r.label: r.community
+        for r in graphstats.label_propagation(
+            _triples_df(spark, edges), iters=3
+        ).collect()
+    }
+    assert got == _py_lpa(edges, iters=3)
+    assert {got[n] for n in "abc"} == {"a"}
+    assert {got[n] for n in "xyz"} == {"w"}
+    assert len({got[n] for n in "abcd"} | {got[n] for n in "wxyz"}) == 2
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_label_prop_matches_reference_on_random_graph(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(24)]
+    edges = {
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    }
+    edges = [(u, v) for u, v in edges if u != v]
+    got = {
+        r.label: r.community
+        for r in graphstats.label_propagation(
+            _triples_df(spark, edges), iters=3
+        ).collect()
+    }
+    assert got == _py_lpa(edges, iters=3)
+
+
+def test_label_prop_direction_and_dup_insensitive(spark):
+    base = [("a", "b"), ("b", "c"), ("c", "a")]
+    flipped = [(v, u) for u, v in base] + base  # duplicates both ways
+    g1 = graphstats.label_propagation(_triples_df(spark, base)).collect()
+    g2 = graphstats.label_propagation(_triples_df(spark, flipped)).collect()
+    assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))
