@@ -59,6 +59,21 @@ SECTIONS = [
      "parse are two MapInPandas nodes in one pipelined stage over a "
      "2-column pruned projection — binary bytes stream through Arrow, "
      "zero exchanges."),
+    ("video_frames_real",
+     "LIVE video frame explode (round 4): AVI synthesis and the stdlib "
+     "RIFF parse+explode are two MapInPandas nodes in one pipelined stage "
+     "— each container's 1→N frame rows stream out through Arrow batches, "
+     "zero exchanges, worker memory flat per batch."),
+    ("media_resize_real",
+     "LIVE thumbnail loop (round 4): decode → nearest-neighbor resample → "
+     "re-encode → re-decode all inside one MapInPandas over the 2-column "
+     "blob projection — zero exchanges."),
+    ("graph_label_prop",
+     "Frequency-vote LPA, 3 unrolled rounds: per round one label equi-join "
+     "of the undirected edge list against the (node, community) table, a "
+     "partial-aggregated vote count, and a per-node top-1 window that "
+     "reuses the same hash partitioning — nothing wider than two label "
+     "columns crosses an exchange."),
     ("pii_scrub",
      "PII redaction cascade + audit counts in one codegen projection — "
      "zero exchanges; the pass can front the raw corpus scan."),
