@@ -1135,7 +1135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "fingerprints_winnowed": q_fingerprints_winnowed,
         "language_id": q_language_id,
-        "fingerprints": q_fingerprints,
+        # live-media witness in the driver gate (r4): video_decode_real
+        # exercises synthesize → Arrow binary → stdlib RIFF/AVI parse; the
+        # plain rolling-hash `fingerprints` rotated out in its place (its
+        # stronger winnowed sibling stays in-gate above)
+        "video_decode_real": q_video_decode_real,
         "media_inventory": q_media_inventory,
         "asof_last_click": q_asof_last_click,
         "range_clicks_before_purchase": q_range_clicks_before_purchase,
@@ -1172,9 +1176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_fake": q_media_decode_fake,
         "media_decode_real": q_media_decode_real,
         "audio_decode_real": q_audio_decode_real,
-        "video_decode_real": q_video_decode_real,
         "video_frames_real": q_video_frames_real,
         "media_resize_real": q_media_resize_real,
+        "fingerprints": q_fingerprints,
         "graph_label_prop": q_graph_label_prop,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
