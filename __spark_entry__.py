@@ -427,6 +427,19 @@ def q_graph_pagerank(spark, sf_dir):
     return graphstats.pagerank(extract.triples_table(_graphs(spark, sf_dir)))
 
 
+def q_graph_entity_pmi(spark, sf_dir):
+    """Document-level entity co-occurrence with exact-integer lift scores
+    (NEW r4): the edge-weighting signal for entity linking / KG
+    completion, in floor-divided basis points so the oracle matches where
+    a float log never would.  Pair enumeration is in-row over the per-doc
+    sorted label array (bounded by the P3 mention cap) — no self-join."""
+    from kgx.operators import extract, graphstats
+
+    return graphstats.entity_cooccurrence(
+        extract.nodes_table(_graphs(spark, sf_dir)), min_co=2
+    )
+
+
 def q_graph_label_prop(spark, sf_dir):
     """Deterministic frequency-vote label propagation over the extracted
     KG (NEW r4): the community-granularity sibling of the canonicalization
@@ -1180,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_real": q_media_resize_real,
         "fingerprints": q_fingerprints,
         "graph_label_prop": q_graph_label_prop,
+        "graph_entity_pmi": q_graph_entity_pmi,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "emb_kmeans": q_emb_kmeans,
@@ -1228,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": oracles.graph_pagerank_sql(),
         "graph_triangles": oracles.graph_triangles_sql(),
         "graph_label_prop": oracles.graph_label_prop_sql(),
+        "graph_entity_pmi": oracles.entity_pmi_sql(),
         "balanced_sample": oracles.balanced_sample_sql(),
         "contamination": oracles.contamination_sql(bench_mod=19, n=3),
         "fingerprints_winnowed": oracles.winnowed_fingerprints_sql(),

@@ -111,6 +111,79 @@ def pagerank(
     return ranks
 
 
+def entity_cooccurrence(nodes: DataFrame, min_co: int = 2) -> DataFrame:
+    """Document-level entity co-occurrence with an exact-integer lift
+    score — the edge-weighting signal entity-linking and KG-completion
+    pipelines hang off the raw co-mention counts (PMI's monotone cousin,
+    kept in floor-divided basis points so Spark and DuckDB agree
+    bit-for-bit where a float log never would):
+
+    ``lift_bp(a, b) = ((10000 * co_docs DIV docs_a) * n_docs) DIV docs_b``
+
+    evaluated in exactly that two-step order: ``co_docs <= docs_a`` makes
+    the first quotient <= 10000, so the second product stays under 2^63
+    for corpora up to ~10^14 documents — no unbounded triple product.
+    lift_bp > 10000 means the pair co-occurs more than independence
+    predicts.
+
+    Plan shape: distinct (doc_id, label) → per-doc sorted label array →
+    in-row pair enumeration via array HOFs (bounded by the extraction
+    contract's per-doc mention cap, SURVEY P3 — no self-join re-evaluating
+    the upstream plan twice) → one (a, b) count aggregate; the per-label
+    margins and the scalar doc count are broadcast back onto the surviving
+    ``co_docs >= min_co`` pairs — margin joins are AQE-decided (the label
+    margin table is one row per distinct entity, which at KG scale can be
+    too large to force-broadcast); only the 1-row corpus count is an
+    explicit broadcast.  Output: (label_a, label_b, co_docs, docs_a,
+    docs_b, lift_bp).
+    """
+    dl = nodes.select("doc_id", "label").distinct()
+    per_doc = dl.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("label")).alias("ls")
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ls, (x, i) -> "
+                "transform(slice(ls, i + 2, size(ls)), y -> "
+                "named_struct('label_a', x, 'label_b', y))))"
+            )
+        ).alias("p")
+    ).select("p.label_a", "p.label_b")
+    co = (
+        pairs.groupBy("label_a", "label_b")
+        .agg(F.count("*").cast("long").alias("co_docs"))
+        .where(F.col("co_docs") >= min_co)
+    )
+    margins = dl.groupBy("label").agg(F.count("*").cast("long").alias("docs"))
+    n = dl.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    return (
+        co.join(
+            margins.select(
+                F.col("label").alias("label_a"), F.col("docs").alias("docs_a")
+            ),
+            "label_a",
+        )
+        .join(
+            margins.select(
+                F.col("label").alias("label_b"), F.col("docs").alias("docs_b")
+            ),
+            "label_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "label_a",
+            "label_b",
+            "co_docs",
+            "docs_a",
+            "docs_b",
+            F.expr(
+                "((10000 * co_docs) div docs_a) * n_docs div docs_b"
+            ).cast("long").alias("lift_bp"),
+        )
+    )
+
+
 def label_propagation(triples: DataFrame, iters: int = 3) -> DataFrame:
     """Synchronous frequency-vote label propagation (community detection)
     over the UNDIRECTED distinct edge set: ``community_0(u) = u``;

@@ -1937,6 +1937,39 @@ SELECT label, rank FROM pr{iters}
 """.strip()
 
 
+def entity_pmi_sql(min_co: int = 2) -> str:
+    """Oracle for document-level entity co-occurrence lift (mirror of
+    kgx.operators.graphstats.entity_cooccurrence): distinct (doc, label)
+    pairs self-joined within doc (a < b), margins and the corpus doc count
+    joined back, and the SAME two-step floor-divided basis-point lift —
+    ``((10000 * co) // docs_a) * n // docs_b`` — so the integer quotient
+    chain matches Spark's ``div`` exactly."""
+    return f"""
+{_BASE},
+{_NODES_CTES},
+dl AS MATERIALIZED (SELECT DISTINCT doc_id, label FROM nodes),
+co AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(count(*) AS BIGINT) AS co_docs
+    FROM dl a JOIN dl b ON a.doc_id = b.doc_id AND a.label < b.label
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_co}
+),
+margins AS MATERIALIZED (
+    SELECT label, CAST(count(*) AS BIGINT) AS docs FROM dl GROUP BY 1
+),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dl)
+SELECT co.label_a, co.label_b, co.co_docs,
+       ma.docs AS docs_a, mb.docs AS docs_b,
+       CAST(((10000 * co.co_docs) // ma.docs) * nn.n_docs // mb.docs
+            AS BIGINT) AS lift_bp
+FROM co
+JOIN margins ma ON ma.label = co.label_a
+JOIN margins mb ON mb.label = co.label_b
+CROSS JOIN nn
+""".strip()
+
+
 def graph_label_prop_sql(iters: int = 3) -> str:
     """Oracle for deterministic frequency-vote label propagation (mirror
     of kgx.operators.graphstats.label_propagation): undirected distinct

@@ -237,3 +237,77 @@ def test_label_prop_direction_and_dup_insensitive(spark):
     g1 = graphstats.label_propagation(_triples_df(spark, base)).collect()
     g2 = graphstats.label_propagation(_triples_df(spark, flipped)).collect()
     assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))
+
+
+def _nodes_df(spark, docs):
+    """docs: {doc_id: [labels]} -> nodes-table shape."""
+    rows = [
+        (d, f"n{i + 1}", lab, "Entity")
+        for d, labs in docs.items()
+        for i, lab in enumerate(labs)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, node_id string, label string, node_type string"
+    )
+
+
+def _py_cooc(docs, min_co=2):
+    from collections import Counter
+
+    dl = {(d, l) for d, labs in docs.items() for l in labs}
+    margins = Counter(l for _, l in dl)
+    n = len({d for d, _ in dl})
+    co = Counter()
+    for d in {d for d, _ in dl}:
+        labs = sorted(l for dd, l in dl if dd == d)
+        for i, a in enumerate(labs):
+            for b in labs[i + 1:]:
+                co[(a, b)] += 1
+    return {
+        (a, b): (
+            c, margins[a], margins[b],
+            ((10000 * c) // margins[a]) * n // margins[b],
+        )
+        for (a, b), c in co.items()
+        if c >= min_co
+    }
+
+
+def test_entity_cooccurrence_lift_semantics(spark):
+    # X and Y always together (perfectly dependent); X and Z independent-ish
+    docs = {
+        "d1": ["X", "Y", "Z"],
+        "d2": ["X", "Y"],
+        "d3": ["X", "Y", "Z"],
+        "d4": ["Z"],
+        "d5": ["W", "W"],  # dup labels inside a doc count once
+    }
+    got = {
+        (r.label_a, r.label_b): (r.co_docs, r.docs_a, r.docs_b, r.lift_bp)
+        for r in graphstats.entity_cooccurrence(
+            _nodes_df(spark, docs), min_co=2
+        ).collect()
+    }
+    assert got == _py_cooc(docs, min_co=2)
+    # perfectly-dependent pair: lift = n / docs_y = 5/3 -> 16666 bp
+    assert got[("X", "Y")] == (3, 3, 3, 16666)
+    # X-Z co-occurs twice in 5 docs: ((10000*2)//3)*5//3 = 11110
+    assert got[("X", "Z")] == (2, 3, 3, 11110)
+    # W never pairs (single-label docs dedup internally)
+    assert not any("W" in k for k in got)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_entity_cooccurrence_matches_reference(spark, seed):
+    rng = random.Random(seed)
+    labels = [f"E{i}" for i in range(12)]
+    docs = {
+        f"d{j}": rng.sample(labels, rng.randint(1, 6)) for j in range(30)
+    }
+    got = {
+        (r.label_a, r.label_b): (r.co_docs, r.docs_a, r.docs_b, r.lift_bp)
+        for r in graphstats.entity_cooccurrence(
+            _nodes_df(spark, docs), min_co=2
+        ).collect()
+    }
+    assert got == _py_cooc(docs, min_co=2)
