@@ -291,6 +291,20 @@ def q_hll_registers(spark, sf_dir):
     return sketches.hll_registers(ev, "cast(event_id as string)", m=64)
 
 
+def q_cm_registers(spark, sf_dir):
+    """Count-min counter table over event ids (NEW r4) — the frequency
+    sibling of the HLL sketch: one md5 per row feeds a depth-4
+    universal-hash family, counters are element-wise-sum mergeable, and
+    the shuffle carries <= partitions x depth x width pre-combined rows."""
+    from kgx.operators import sketches
+    from kgx.sources.docs import spread_small_scan
+
+    ev = spread_small_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return sketches.cm_registers(
+        ev, "cast(user_id as string)", depth=4, width=256
+    )
+
+
 def q_inverted_postings(spark, sf_dir):
     """Inverted token index (token, doc_id, tf, df) — retrieval-side
     companion to ANN; df cutoffs bound posting lists like the hot-shingle
@@ -1202,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_captions": q_media_captions,
         "seq_pack_interleaved": q_seq_pack_interleaved,
         "hll_registers": q_hll_registers,
+        "cm_registers": q_cm_registers,
         "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
@@ -1291,6 +1306,9 @@ def oracle_sql() -> dict[str, str]:
             capacity=4096, n_shards=8, media_token_cost=576
         ),
         "hll_registers": oracles.hll_registers_sql(m=64),
+        "cm_registers": oracles.cm_registers_sql(
+            "cast(user_id as varchar)", depth=4, width=256
+        ),
         "lm_trigram_counts": oracles.lm_ngram_counts_sql(n=3, min_count=2),
         "seq_pack": oracles.seq_pack_sql(capacity=128, n_shards=8),
         "shard_manifest": oracles.shard_manifest_sql(n_shards=8),

@@ -74,3 +74,62 @@ def estimate_cardinality(registers: list[tuple[int, int]], m: int = 64) -> float
     if est <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return est
+
+
+def cm_registers(
+    df: DataFrame, col_expr: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(any rows) → (d, col, cnt): the depth × width COUNT-MIN sketch of
+    the multiset of ``col_expr`` values — the frequency-sketch sibling of
+    :func:`hll_registers` (same engine-neutral arithmetic stance, same
+    mergeability contract: the sketch of a union is the element-wise SUM
+    of the parts' counters; see tests/test_sketches.py merge law).
+
+    Row ``d`` of the matrix uses the universal-hash family
+    (kgx.functions.hashing.minhash_derived, seed d) over ONE shared md5-60
+    base hash, so the whole depth costs one md5 per row — and DuckDB
+    replays the identical ``(a_d * (h % p) + b_d) % p % width`` chain.
+
+    One map-side-combined groupBy over at most depth × width keys: the
+    shuffle carries ≤ partitions × depth × width pre-combined rows
+    regardless of corpus size, and the output is a tiny counter table an
+    incremental job merges with ``sum`` — what a 100 TB heavy-hitters
+    pass actually stores.
+    """
+    from kgx.functions.hashing import minhash_derived
+
+    if depth < 1 or width < 2:
+        raise ValueError(f"bad sketch shape {depth}x{width}")
+    h = spark_md5_60(col_expr)
+    cells = ", ".join(
+        f"named_struct('d', cast({d} as bigint), "
+        f"'col', cast(({minhash_derived('h0', d)}) % {width} as bigint))"
+        for d in range(depth)
+    )
+    return (
+        df.selectExpr(f"cast({h} as bigint) AS h0")
+        .selectExpr(f"explode(array({cells})) AS e")
+        .select("e.d", "e.col")
+        .groupBy("d", "col")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def estimate_count(
+    registers: list[tuple[int, int, int]],
+    value_hash: int,
+    depth: int = 4,
+    width: int = 256,
+) -> int:
+    """Count-min point query over collected (d, col, cnt) rows for a value
+    whose md5-60 base hash is ``value_hash``: min over rows of the value's
+    cell — never underestimates the true multiplicity."""
+    from kgx.functions.hashing import MERSENNE31, _uh_coeffs
+
+    filled = {(int(d), int(c)): int(n) for d, c, n in registers}
+    ests = []
+    for d in range(depth):
+        a, b = _uh_coeffs(d)
+        col = ((a * (value_hash % MERSENNE31) + b) % MERSENNE31) % width
+        ests.append(filled.get((d, col), 0))
+    return min(ests)

@@ -2441,6 +2441,37 @@ FROM cum
 """.strip()
 
 
+def cm_registers_sql(
+    col_expr: str = "cast(event_id as varchar)",
+    depth: int = 4,
+    width: int = 256,
+    table: str = "events",
+) -> str:
+    """Oracle for the count-min counter table (mirror of
+    kgx.operators.sketches.cm_registers): same md5-60 base hash, same
+    per-row universal-hash derivation unrolled as UNION ALL branches —
+    counters match bit-for-bit."""
+    from kgx.functions.hashing import minhash_derived
+
+    h = _duck_md5_60(col_expr)
+    branches = "\n    UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS d, "
+        f"CAST(({minhash_derived('h0', d)}) % {width} AS BIGINT) AS col "
+        f"FROM hashed"
+        for d in range(depth)
+    )
+    return f"""
+WITH hashed AS (
+    SELECT CAST({h} AS BIGINT) AS h0 FROM {table}
+),
+cells AS (
+    {branches}
+)
+SELECT d, col, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2
+""".strip()
+
+
 def hll_registers_sql(col_expr: str = "cast(event_id as varchar)", m: int = 64,
                       table: str = "events") -> str:
     """Oracle for the HLL register sketch (mirror of

@@ -61,3 +61,48 @@ def test_hll_rho_definition(spark):
 
     bad = pytest.raises(ValueError, sketches.hll_registers, df, "v", m=48)
     assert "power of two" in str(bad.value)
+
+
+def test_cm_merge_law(spark, events):
+    """Count-min of a union == element-wise SUM of the parts' counters."""
+    expr = "cast(event_id as string)"
+    whole = {(r.d, r.col): r.cnt
+             for r in sketches.cm_registers(events, expr).collect()}
+    a = {(r.d, r.col): r.cnt
+         for r in sketches.cm_registers(
+             events.where("event_id % 2 = 0"), expr).collect()}
+    b = {(r.d, r.col): r.cnt
+         for r in sketches.cm_registers(
+             events.where("event_id % 2 = 1"), expr).collect()}
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
+    # total mass per row d == number of input rows
+    n = events.count()
+    for d in range(4):
+        assert sum(c for (dd, _), c in whole.items() if dd == d) == n
+
+
+def test_cm_point_estimate_never_underestimates(spark, events):
+    """The count-min guarantee: estimate >= true multiplicity, and exact
+    for values whose cells never collide."""
+    import hashlib
+
+    regs = [(r.d, r.col, r.cnt)
+            for r in sketches.cm_registers(
+                events, "cast(user_id as string)").collect()]
+    true = {str(r[0]): r[1]
+            for r in events.groupBy("user_id").count().collect()}
+    checked = 0
+    for uid, cnt in sorted(true.items())[:50]:
+        h = int(hashlib.md5(uid.encode()).hexdigest()[:15], 16)
+        est = sketches.estimate_count(regs, h)
+        assert est >= cnt
+        checked += 1
+    assert checked > 0
+
+
+def test_cm_rejects_bad_shape(spark, events):
+    with pytest.raises(ValueError):
+        sketches.cm_registers(events, "cast(event_id as string)", depth=0)
+    with pytest.raises(ValueError):
+        sketches.cm_registers(events, "cast(event_id as string)", width=1)
