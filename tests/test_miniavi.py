@@ -181,3 +181,49 @@ def test_video_frame_means_explode_agrees_with_decode(spark, sf_dir):
     for r in counts:
         assert r["max_idx"] == per_video[r["media_ref"]] - 1
         assert r["ts0"] == 0
+
+
+def _chunk(cc, data):
+    return cc + struct.pack("<I", len(data)) + data + (
+        b"\x00" if len(data) % 2 else b""
+    )
+
+
+def test_decode_skips_foreign_audio_stream():
+    """A spec-legal AVI can carry an audio strl before the video strl;
+    the decoder must take rate/scale/bpp from the vids stream only."""
+    frames = _gradient_frames(3, 2, 2)
+    blob = miniavi.encode_avi(frames, fps=10)
+    (riff_size,) = struct.unpack("<I", blob[4:8])
+
+    def lst(t, data):
+        return _chunk(b"LIST", t + data)
+
+    strh_a = _chunk(
+        b"strh",
+        struct.pack("<4s4sIHHIIIIIIII4h", b"auds", b"PCM ", 0, 0, 0, 0,
+                    1, 8000, 0, 100, 0, 0, 2, 0, 0, 0, 0),
+    )
+    strf_a = _chunk(b"strf", struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    audio_strl = lst(b"strl", strh_a + strf_a)
+
+    rest, avih_seg, vstrl_seg = [], None, None
+    for cc, ds, size in miniavi._walk(blob, 12, 8 + riff_size):
+        seg = blob[ds - 8 : ds + size + (size % 2)]
+        if cc == b"LIST" and blob[ds : ds + 4] == b"hdrl":
+            for cc2, ds2, s2 in miniavi._walk(blob, ds + 4, ds + size):
+                seg2 = blob[ds2 - 8 : ds2 + s2 + (s2 % 2)]
+                if cc2 == b"avih":
+                    avih_seg = seg2
+                elif cc2 == b"LIST":
+                    vstrl_seg = seg2
+        else:
+            rest.append(seg)
+    new_blob = _chunk(
+        b"RIFF",
+        b"AVI " + lst(b"hdrl", avih_seg + audio_strl + vstrl_seg)
+        + b"".join(rest),
+    )
+    v = miniavi.decode_avi(new_blob)
+    assert v["frames"] == frames
+    assert (v["rate"], v["scale"]) == (10, 1)

@@ -178,3 +178,34 @@ def test_resize_media_real_live_loop(spark, sf_dir):
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
             h % 256, (h // 256) % 256, (h // 65536) % 256
         )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(1, 10), st.integers(1, 8),   # in dims
+        st.integers(1, 10), st.integers(1, 8),   # out dims
+        st.data(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_nearest_resize_properties(w, h, ow, oh, data):
+        from kgx.sources.miniimage import nearest_resize
+
+        px_strat = st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        )
+        px = [[data.draw(px_strat) for _ in range(w)] for _ in range(h)]
+        out = nearest_resize(px, ow, oh)
+        # exact output dims
+        assert len(out) == oh and all(len(r) == ow for r in out)
+        # every output pixel is a real input pixel at the floor-index map
+        for ri in range(oh):
+            for ci in range(ow):
+                assert out[ri][ci] == px[ri * h // oh][ci * w // ow]
+        # identity at equal dims
+        if (ow, oh) == (w, h):
+            assert out == px
+except ImportError:  # pragma: no cover
+    pass
