@@ -203,3 +203,74 @@ def current_shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
         F.sum("n_chars").alias("n_chars"),
         F.sum("checksum").alias("checksum"),
     )
+
+
+def start_sketch_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: str,
+    distinct_expr: str,
+    freq_expr: str,
+    m: int = 64,
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = True,
+):
+    """Maintain HLL + count-min sketches over an event stream — the
+    monitoring pass a 100 TB ingest runs beside the pipeline (live distinct
+    counts and heavy-hitter frequencies without ever re-scanning history).
+
+    Same delta stance as :func:`start_manifest_maintenance`: both sketch
+    register tables are MERGEABLE (HLL: element-wise max; count-min:
+    element-wise sum), so each micro-batch appends only its tiny delta
+    rows — ≤ m and ≤ depth × width per batch — into a ``batch_id=``
+    partition with dynamic partition overwrite (an at-least-once
+    foreachBatch retry rewrites the same partition instead of
+    double-counting), and :func:`current_sketches` is a groupBy max/sum
+    over deltas.  Streaming == batch equality asserted by
+    tests/test_streaming_versions.py.
+    """
+    from kgx.operators import sketches
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll = sketches.hll_registers(batch_df, distinct_expr, m).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        cm = sketches.cm_registers(batch_df, freq_expr, depth, width).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        for delta, sub in ((hll, "hll_deltas"), (cm, "cm_deltas")):
+            (
+                delta.coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(os.path.join(out_dir, sub))
+            )
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", os.path.join(out_dir, "_sketch_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_sketches(
+    spark: SparkSession, out_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The live sketches: (hll_registers, cm_registers) merged over all
+    committed deltas with each table's merge law."""
+    hll = (
+        spark.read.parquet(os.path.join(out_dir, "hll_deltas"))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    cm = (
+        spark.read.parquet(os.path.join(out_dir, "cm_deltas"))
+        .groupBy("d", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return hll, cm

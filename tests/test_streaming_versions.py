@@ -243,3 +243,51 @@ def test_streaming_manifest_equals_batch_and_is_idempotent(spark, sf_dir, tmp_pa
         for r in incremental.current_shard_manifest(spark, out_dir).collect()
     }
     assert got2 == want
+
+
+def test_streaming_sketches_equal_batch(spark, sf_dir, tmp_path):
+    """Incremental sketch maintenance: three micro-batch drops of the
+    events table merge (HLL: max, count-min: sum) to exactly the batch
+    sketches of the union; replaying with the same checkpoint changes
+    nothing."""
+    from kgx.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    kwargs = dict(
+        schema="event_id bigint, user_id bigint",
+        distinct_expr="cast(event_id as string)",
+        freq_expr="cast(user_id as string)",
+    )
+    q = incremental.start_sketch_maintenance(spark, in_dir, out_dir, **kwargs)
+    q.awaitTermination(120)
+
+    hll, cm = incremental.current_sketches(spark, out_dir)
+    want_hll = {
+        tuple(r)
+        for r in sketches.hll_registers(
+            ev, "cast(event_id as string)"
+        ).collect()
+    }
+    want_cm = {
+        tuple(r)
+        for r in sketches.cm_registers(ev, "cast(user_id as string)").collect()
+    }
+    assert {tuple(r) for r in hll.collect()} == want_hll
+    assert {tuple(r) for r in cm.collect()} == want_cm
+
+    # restart with the same checkpoint: no pending input -> deltas unchanged
+    n_rows = spark.read.parquet(os.path.join(out_dir, "cm_deltas")).count()
+    q2 = incremental.start_sketch_maintenance(spark, in_dir, out_dir, **kwargs)
+    q2.awaitTermination(120)
+    assert (
+        spark.read.parquet(os.path.join(out_dir, "cm_deltas")).count() == n_rows
+    )
