@@ -133,3 +133,116 @@ def estimate_count(
         col = ((a * (value_hash % MERSENNE31) + b) % MERSENNE31) % width
         ests.append(filled.get((d, col), 0))
     return min(ests)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership sketch + decontamination probe
+# ---------------------------------------------------------------------------
+
+#: Bits per register word.  32 (not 64) so the mask ``1 << bit`` never
+#: touches the sign bit: DuckDB raises on ``1::BIGINT << 63`` and Spark
+#: would wrap negative — 31 is the largest shift both engines agree on.
+BLOOM_WORD = 32
+
+
+def _bloom_pos_exprs(m_bits: int, k: int) -> list[str]:
+    """k double-hashed bit positions from (h1, stride) columns —
+    Kirsch-Mitzenmacher g_j = (h1 + j*stride) mod m with an ODD stride so
+    the probe sequence never degenerates to a single cell.  Pure integer
+    arithmetic, identical text in Spark SQL and DuckDB."""
+    return [f"(h1 + {j} * stride) % {m_bits}" for j in range(k)]
+
+
+def bloom_registers(
+    df: DataFrame,
+    col_expr: str,
+    m_bits: int = 65536,
+    k: int = 4,
+    pre_hashed: bool = False,
+) -> DataFrame:
+    """(any rows) → (word, bits): the m-bit Bloom filter of the distinct
+    values of ``col_expr``, packed 32 bits per word — the MEMBERSHIP
+    sibling of :func:`hll_registers` / :func:`cm_registers` (same
+    engine-neutral arithmetic, same mergeability contract: the sketch of a
+    union is the element-wise ``bit_or`` of the parts' sketches; see
+    tests/test_sketches.py merge law, and no-false-negative law).
+
+    One map-side-combined groupBy over at most ``m_bits / 32`` keys: the
+    shuffle carries ≤ partitions × words pre-combined rows regardless of
+    corpus size, and the output is a tiny bitmap table an incremental job
+    merges with ``bit_or`` — the broadcastable screen a 100 TB
+    decontamination pass actually ships to every executor (kilobytes,
+    where the raw benchmark shingle set could be millions of hashes).
+    """
+    if m_bits % BLOOM_WORD or m_bits < BLOOM_WORD:
+        raise ValueError(f"m_bits must be a positive multiple of {BLOOM_WORD}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = col_expr if pre_hashed else spark_md5_60(col_expr)
+    poss = ", ".join(_bloom_pos_exprs(m_bits, k))
+    return (
+        df.selectExpr(f"cast({h} as bigint) AS h0")
+        .selectExpr(
+            f"h0 % {m_bits} AS h1",
+            f"2 * ((h0 DIV {m_bits}) % {m_bits}) + 1 AS stride",
+        )
+        .selectExpr(f"explode(array({poss})) AS pos")
+        .selectExpr(
+            f"cast(pos DIV {BLOOM_WORD} as bigint) AS word",
+            f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD} as int)) AS mask",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").cast("long").alias("bits"))
+    )
+
+
+def bloom_probe(
+    keyed: DataFrame,
+    registers: DataFrame,
+    m_bits: int = 65536,
+    k: int = 4,
+    hash_col: str = "shingle_hash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, hash) rows × (word, bits) registers → (id, n_keys, n_flagged):
+    per id, how many of its hashes the Bloom filter claims to contain
+    (every true member IS flagged — no false negatives; a bounded false-
+    positive rate flags some non-members, the standard Bloom trade).
+
+    Plan shape: the k probe positions explode JVM-side, the register table
+    is explicitly broadcast (≤ m_bits/32 rows), and the two aggregates are
+    keyed on (id, hash) then (id) — the corpus side never shuffles
+    anything wider than two bigints.
+    """
+    poss = ", ".join(_bloom_pos_exprs(m_bits, k))
+    probes = (
+        keyed.selectExpr(id_col, f"{hash_col} AS h0")
+        .selectExpr(
+            id_col,
+            "h0",
+            f"h0 % {m_bits} AS h1",
+            f"2 * ((h0 DIV {m_bits}) % {m_bits}) + 1 AS stride",
+        )
+        .selectExpr(id_col, "h0", f"explode(array({poss})) AS pos")
+        .selectExpr(
+            id_col,
+            "h0",
+            f"cast(pos DIV {BLOOM_WORD} as bigint) AS word",
+            f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD} as int)) AS mask",
+        )
+    )
+    return (
+        probes.join(F.broadcast(registers), "word", "left")
+        .selectExpr(
+            id_col,
+            "h0",
+            "CASE WHEN (coalesce(bits, 0) & mask) = mask THEN 1 ELSE 0 END AS hit",
+        )
+        .groupBy(id_col, "h0")
+        .agg(F.min("hit").alias("all_hit"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("all_hit").cast("long").alias("n_flagged"),
+        )
+    )

@@ -2006,6 +2006,115 @@ SELECT node AS label, community FROM lp{iters}
 """.strip()
 
 
+def graph_kcore_sql(k: int = 2, iters: int = 4) -> str:
+    """Oracle for the synchronous k-core peel (mirror of
+    kgx.operators.graphstats.kcore): undirected distinct edges, each round
+    keeps only nodes with current degree >= k and the edges between
+    survivors, unrolled into chained CTEs kc_e0..kc_e{iters}; output is
+    the residual-graph degree of every surviving node."""
+    ctes = [
+        "kc_e0 AS MATERIALIZED (SELECT subj, obj FROM gr_edges UNION "
+        "SELECT obj, subj FROM gr_edges)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+kc_k{i} AS (
+    SELECT subj FROM kc_e{i} GROUP BY 1 HAVING count(*) >= {k}
+),
+kc_e{i + 1} AS (
+    SELECT e.subj, e.obj FROM kc_e{i} e
+    JOIN kc_k{i} a ON a.subj = e.subj
+    JOIN kc_k{i} b ON b.subj = e.obj
+)
+""".strip())
+    joined = ",\n".join(ctes)
+    return f"""
+{_graph_edges_ctes()},
+{joined}
+SELECT subj AS label, CAST(count(*) AS BIGINT) AS core_degree
+FROM kc_e{iters} GROUP BY 1
+""".strip()
+
+
+def _bloom_regs_cte(bench_mod: int, n: int, m_bits: int, k: int) -> str:
+    """Shared CTE chain: benchmark shingle hashes -> Bloom register table
+    (mirror of kgx.operators.sketches.bloom_registers over the
+    doc_id % bench_mod = 0 slice — 32-bit words, double-hashed positions)."""
+    pos_branches = "\n    UNION ALL ".join(
+        f"SELECT (h1 + {j} * stride) % {m_bits} AS pos FROM bl_hs"
+        for j in range(k)
+    )
+    return f"""
+bl_sh AS MATERIALIZED (
+    SELECT doc_id, {_duck_md5_60('shingle')} AS shingle_hash
+    FROM (SELECT doc_id, unnest({_duck_shingles(n)}) AS shingle FROM documents)
+),
+bl_hs AS (
+    SELECT shingle_hash % {m_bits} AS h1,
+           2 * ((shingle_hash // {m_bits}) % {m_bits}) + 1 AS stride
+    FROM bl_sh WHERE doc_id % {bench_mod} = 0
+),
+bl_pos AS (
+    {pos_branches}
+),
+bl_regs AS MATERIALIZED (
+    SELECT CAST(pos // 32 AS BIGINT) AS word,
+           CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+    FROM bl_pos GROUP BY 1
+)
+""".strip()
+
+
+def bloom_registers_sql(
+    bench_mod: int = 19, n: int = 5, m_bits: int = 65536, k: int = 4
+) -> str:
+    """Oracle for the benchmark-slice Bloom filter register table."""
+    return f"""
+WITH {_bloom_regs_cte(bench_mod, n, m_bits, k)}
+SELECT word, bits FROM bl_regs
+""".strip()
+
+
+def bloom_contamination_sql(
+    bench_mod: int = 19, n: int = 5, m_bits: int = 65536, k: int = 4
+) -> str:
+    """Oracle for the Bloom-filter decontamination probe (mirror of
+    kgx.operators.sketches.bloom_probe over the train slice): per shingle
+    all k probe bits must be set; per doc count shingles and flagged
+    shingles."""
+    probe_branches = "\n    UNION ALL ".join(
+        f"SELECT doc_id, h0, (h1 + {j} * stride) % {m_bits} AS pos FROM bl_tr"
+        for j in range(k)
+    )
+    return f"""
+WITH {_bloom_regs_cte(bench_mod, n, m_bits, k)},
+bl_tr AS (
+    SELECT doc_id, shingle_hash AS h0,
+           shingle_hash % {m_bits} AS h1,
+           2 * ((shingle_hash // {m_bits}) % {m_bits}) + 1 AS stride
+    FROM bl_sh WHERE doc_id % {bench_mod} != 0
+),
+bl_tp AS (
+    {probe_branches}
+),
+bl_hits AS (
+    SELECT t.doc_id, t.h0,
+           CASE WHEN (coalesce(r.bits, 0) & (1::BIGINT << CAST(t.pos % 32 AS INT)))
+                     = (1::BIGINT << CAST(t.pos % 32 AS INT))
+                THEN 1 ELSE 0 END AS hit
+    FROM (SELECT doc_id, h0, pos, CAST(pos // 32 AS BIGINT) AS word FROM bl_tp) t
+    LEFT JOIN bl_regs r ON r.word = t.word
+),
+bl_per AS (
+    SELECT doc_id, h0, min(hit) AS all_hit FROM bl_hits GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(all_hit) AS BIGINT) AS n_flagged
+FROM bl_per GROUP BY 1
+""".strip()
+
+
 def graph_triangles_sql() -> str:
     """Oracle for per-node triangle participation (mirror of
     kgx.operators.graphstats.triangle_counts: canonical undirected edges,

@@ -311,3 +311,73 @@ def test_entity_cooccurrence_matches_reference(spark, seed):
         ).collect()
     }
     assert got == _py_cooc(docs, min_co=2)
+
+
+def _py_kcore(edges, k=2, iters=4):
+    """Driver-side reference: synchronous bounded-round peel, plain sets."""
+    und = set()
+    for u, v in set(edges):
+        if u != v:
+            und.add((u, v))
+            und.add((v, u))
+    for _ in range(iters):
+        deg = {}
+        for u, _ in und:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        und = {(u, v) for u, v in und if u in keep and v in keep}
+    out = {}
+    for u, _ in und:
+        out[u] = out.get(u, 0) + 1
+    return out
+
+
+def test_kcore_planted_clique_sheds_chain(spark):
+    # a 4-clique (3-core) with a pendant chain: k=2 peels the chain
+    # tail-first — one round per chain link — and keeps the clique intact
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "p"), ("p", "q"), ("q", "r")]
+    got = {
+        r.label: r.core_degree
+        for r in graphstats.kcore(
+            _triples_df(spark, clique + chain), k=2, iters=4
+        ).collect()
+    }
+    assert got == _py_kcore(clique + chain, k=2, iters=4)
+    assert set(got) == set("abcd")
+    assert all(got[n] == 3 for n in "abcd")
+    # fixpoint reached: one more round changes nothing
+    more = {
+        r.label: r.core_degree
+        for r in graphstats.kcore(
+            _triples_df(spark, clique + chain), k=2, iters=5
+        ).collect()
+    }
+    assert more == got
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_kcore_matches_reference_on_random_graph(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(24)]
+    edges = [
+        (u, v)
+        for u, v in {(rng.choice(nodes), rng.choice(nodes)) for _ in range(55)}
+        if u != v
+    ]
+    for iters in (1, 3):
+        got = {
+            r.label: r.core_degree
+            for r in graphstats.kcore(
+                _triples_df(spark, edges), k=2, iters=iters
+            ).collect()
+        }
+        assert got == _py_kcore(edges, k=2, iters=iters)
+
+
+def test_kcore_direction_and_dup_insensitive(spark):
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    flipped = [(v, u) for u, v in base] + base
+    g1 = graphstats.kcore(_triples_df(spark, base)).collect()
+    g2 = graphstats.kcore(_triples_df(spark, flipped)).collect()
+    assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))

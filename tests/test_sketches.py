@@ -106,3 +106,112 @@ def test_cm_rejects_bad_shape(spark, events):
         sketches.cm_registers(events, "cast(event_id as string)", depth=0)
     with pytest.raises(ValueError):
         sketches.cm_registers(events, "cast(event_id as string)", width=1)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_merge_law(spark, events):
+    """The bitmap of a union equals the element-wise bit_or of the parts'
+    bitmaps — the mergeability contract shared with HLL (max) and
+    count-min (sum)."""
+    col = "cast(event_id as string)"
+    whole = {r.word: r.bits
+             for r in sketches.bloom_registers(events, col).collect()}
+    a = {r.word: r.bits
+         for r in sketches.bloom_registers(
+             events.where("event_id % 2 = 0"), col).collect()}
+    b = {r.word: r.bits
+         for r in sketches.bloom_registers(
+             events.where("event_id % 2 = 1"), col).collect()}
+    merged = {k: a.get(k, 0) | b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, events):
+    """Every member value probes positive (Bloom's hard guarantee); the
+    non-member false-positive rate stays well under the analytic bound's
+    headroom for this fill factor."""
+    members = events.where("event_id % 3 = 0").selectExpr(
+        "event_id AS doc_id",
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)"
+        " AS shingle_hash",
+    )
+    others = events.where("event_id % 3 != 0").selectExpr(
+        "event_id AS doc_id",
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)"
+        " AS shingle_hash",
+    )
+    regs = sketches.bloom_registers(
+        members, "shingle_hash", m_bits=65536, k=4, pre_hashed=True
+    )
+    got_m = sketches.bloom_probe(members, regs, m_bits=65536, k=4).collect()
+    assert all(r.n_flagged == r.n_keys for r in got_m)  # no false negatives
+    got_o = sketches.bloom_probe(others, regs, m_bits=65536, k=4).collect()
+    fp = sum(r.n_flagged for r in got_o) / max(1, sum(r.n_keys for r in got_o))
+    n = len(got_m)
+    bound = (1 - 2.718281828 ** (-4 * n / 65536)) ** 4
+    assert fp <= 10 * bound + 0.01
+
+
+def test_bloom_mask_never_touches_sign_bit(spark):
+    """BLOOM_WORD=32 exists because DuckDB raises on 1::BIGINT << 63; pin
+    that every emitted word/bit stays in the agreed range and the Spark
+    bitmap round-trips through the same arithmetic DuckDB runs."""
+    import duckdb
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id", "id AS shingle_hash")
+    regs = sketches.bloom_registers(
+        df, "shingle_hash", m_bits=65536, k=4, pre_hashed=True
+    ).collect()
+    assert all(0 <= r.word < 65536 // 32 for r in regs)
+    assert all(0 <= r.bits < 2 ** 32 for r in regs)  # bit 63 never set
+    duck = duckdb.connect().execute(
+        """
+        WITH hs AS (
+            SELECT range % 65536 AS h1,
+                   2 * ((range // 65536) % 65536) + 1 AS stride
+            FROM range(0, 2000)
+        ),
+        pos AS (
+            SELECT (h1 + 0 * stride) % 65536 AS pos FROM hs
+            UNION ALL SELECT (h1 + 1 * stride) % 65536 FROM hs
+            UNION ALL SELECT (h1 + 2 * stride) % 65536 FROM hs
+            UNION ALL SELECT (h1 + 3 * stride) % 65536 FROM hs
+        )
+        SELECT CAST(pos // 32 AS BIGINT) AS word,
+               CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+        FROM pos GROUP BY 1
+        """
+    ).fetchall()
+    assert sorted((r.word, r.bits) for r in regs) == sorted(duck)
+
+
+def test_bloom_rejects_bad_shape(spark, events):
+    with pytest.raises(ValueError):
+        sketches.bloom_registers(events, "event_id", m_bits=100)
+    with pytest.raises(ValueError):
+        sketches.bloom_registers(events, "event_id", k=0)
+
+
+def test_bloom_screen_is_superset_of_exact_screen(spark, sf_dir):
+    """Cross-operator law: the Bloom probe can only ADD flags on top of
+    the exact broadcast-join screen (no false negatives ⇒ per doc
+    n_flagged >= n_contaminated, with identical shingle universes)."""
+    import __spark_entry__ as entry
+
+    exact = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in entry.q_contamination(spark, sf_dir).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_keys, r.n_flagged)
+        for r in entry.q_bloom_contamination(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d, (n_sh, n_cont) in exact.items():
+        n_keys, n_flag = bloom[d]
+        assert n_keys == n_sh
+        assert n_flag >= n_cont
