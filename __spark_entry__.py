@@ -478,6 +478,37 @@ def q_graph_triangles(spark, sf_dir):
     return graphstats.triangle_counts(extract.triples_table(_graphs(spark, sf_dir)))
 
 
+def q_kg_version_diff(spark, sf_dir):
+    """Snapshot changelog between two simulated pipeline runs (NEW r4):
+    the old run pre-dates the `acquired` extraction pattern and misses
+    the doc_id % 3 = 0 docs; the new run retired doc_id % 5 = 4.  One
+    full-outer join on the triple key over the SAME persisted extraction
+    (both filters are post-extraction slices — no double extract);
+    'added'/'removed' rows are the MERGE delta an Iceberg graph table
+    would apply."""
+    from kgx.operators import extract
+    from kgx.plans import versions
+
+    t = extract.triples_table(_graphs(spark, sf_dir))
+    dnum = "cast(substr(doc_id, 5) as bigint)"  # doc_id = 'doc-<n>'
+    old = t.where(f"pred != 'acquired' AND {dnum} % 3 != 0")
+    new = t.where(f"{dnum} % 5 != 4")
+    return versions.snapshot_diff(old, new, ["doc_id", "subj", "pred", "obj"])
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Hash-bucketed negative sampling for KG-embedding training (NEW
+    r4): k=2 corrupted objects per distinct triple, chosen by pure md5-60
+    arithmetic over a per-bucket-numbered node table — bounded per-bucket
+    sorts instead of a global row_number, broadcast bucket sizes, one
+    (bucket, idx) equi-join."""
+    from kgx.operators import extract, graphstats
+
+    return graphstats.negative_samples(
+        extract.triples_table(_graphs(spark, sf_dir)), k=2, buckets=64
+    )
+
+
 def q_graph_kcore(spark, sf_dir):
     """Synchronous k-core peel over the extracted KG (NEW r4): bounded
     peel rounds drop nodes whose residual degree falls below k — the
@@ -1165,12 +1196,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 82 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
+    """All 84 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
     driver's correctness gate records the FIRST 50 entries only, so the
     dict is split into an explicit gate set (the 50 highest-information
     rows: the full reference extraction contract kg_*/link_*, every dedup
     / similarity / curation family head, and this round's bugfix witness
-    s2_binary_ingest) followed by the rotation remainder (32 rows, every
+    s2_binary_ingest) followed by the rotation remainder (34 rows, every
     one still oracle-backed).  docs/COVERAGE.md maps each remainder row to
     its judge-verifiable one-liner:
     ``python tools/compare_oracle.py /root/testdata/sf0.01 <name>``."""
@@ -1255,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "graph_entity_pmi": q_graph_entity_pmi,
         "graph_kcore": q_graph_kcore,
+        "kg_version_diff": q_kg_version_diff,
+        "kg_negative_samples": q_kg_negative_samples,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
         "emb_kmeans": q_emb_kmeans,
@@ -1307,6 +1340,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": oracles.graph_triangles_sql(),
         "graph_label_prop": oracles.graph_label_prop_sql(),
         "graph_kcore": oracles.graph_kcore_sql(),
+        "kg_version_diff": oracles.kg_version_diff_sql(),
+        "kg_negative_samples": oracles.kg_negative_samples_sql(),
         "graph_entity_pmi": oracles.entity_pmi_sql(),
         "balanced_sample": oracles.balanced_sample_sql(),
         "contamination": oracles.contamination_sql(bench_mod=19, n=3),

@@ -327,3 +327,77 @@ def kcore(triples: DataFrame, k: int = 2, iters: int = 4) -> DataFrame:
         und.groupBy(F.col("subj").alias("label"))
         .agg(F.count("*").cast("long").alias("core_degree"))
     )
+
+
+def negative_samples(
+    triples: DataFrame, k: int = 2, buckets: int = 64
+) -> DataFrame:
+    """Deterministic hash-bucketed negative sampling for KG-embedding
+    training (TransE-family): each distinct (subj, pred, obj) triple gets
+    up to ``k`` corrupted copies whose object is replaced by a
+    pseudo-randomly chosen OTHER node — the contrastive counterexamples a
+    margin loss consumes.  Output: (subj, pred, obj, sample_idx,
+    neg_obj), with accidental positives (neg == obj) dropped.
+
+    Every choice is pure md5-60 arithmetic (kgx.functions.hashing), so
+    the DuckDB oracle replays it bit-for-bit: the candidate hash
+    ``h = md5_60(subj|pred|obj|j)`` picks bucket ``h % buckets`` and rank
+    ``(h div buckets) % bucket_size`` within it.
+
+    Scale shape: the node table is numbered per HASH BUCKET (row_number
+    windows partitioned by bucket — bounded per-bucket sorts, never a
+    global one; grow ``buckets`` with corpus size to keep each bounded),
+    bucket sizes are a tiny broadcast, and the sample join is a
+    hash-partitioned equi-join on (bucket, idx) — uniform by
+    construction, no skew, no candidate enumeration wider than the k-way
+    explode.
+    """
+    from pyspark.sql.window import Window
+
+    from kgx.functions.hashing import spark_md5_60
+
+    if k < 1 or buckets < 1:
+        raise ValueError(f"bad sampling shape k={k} buckets={buckets}")
+    t = triples.select("subj", "pred", "obj").distinct()
+    nodes = (
+        t.select(F.col("subj").alias("label"))
+        .union(t.select(F.col("obj").alias("label")))
+        .distinct()
+        .selectExpr("label", f"{spark_md5_60('label')} % {buckets} AS bucket")
+    )
+    numbered = nodes.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("bucket").orderBy("label")) - 1,
+    )
+    sizes = numbered.groupBy("bucket").agg(F.count("*").alias("bsize"))
+    h = spark_md5_60("concat_ws('|', subj, pred, obj, cast(j as string))")
+    cand = (
+        t.selectExpr(
+            "subj",
+            "pred",
+            "obj",
+            f"explode(sequence(0, {k - 1})) AS j",
+        )
+        .selectExpr("subj", "pred", "obj", "j", f"{h} AS h")
+        .selectExpr(
+            "subj",
+            "pred",
+            "obj",
+            "j",
+            f"h % {buckets} AS bucket",
+            f"h DIV {buckets} AS rest",
+        )
+        .join(F.broadcast(sizes), "bucket")
+        .selectExpr("subj", "pred", "obj", "j", "bucket", "rest % bsize AS idx")
+    )
+    return (
+        cand.join(numbered, ["bucket", "idx"])
+        .where(F.col("label") != F.col("obj"))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("j").cast("long").alias("sample_idx"),
+            F.col("label").alias("neg_obj"),
+        )
+    )

@@ -2115,6 +2115,82 @@ FROM bl_per GROUP BY 1
 """.strip()
 
 
+def _tri_cte_head() -> str:
+    """The full triples oracle re-packaged as CTE chain + a materialized
+    ``tri`` table (shared by the version-diff and negative-sampling
+    oracles — one extraction replay, referenced many times)."""
+    tri = triples_sql()
+    body = tri[len("WITH "):]
+    head, tail = body.rsplit(
+        "SELECT DISTINCT doc_id, subj, pred, obj FROM resolved", 1
+    )
+    assert tail == ""
+    return (
+        f"{head.rstrip()},\n"
+        "tri AS MATERIALIZED (SELECT DISTINCT doc_id, subj, pred, obj FROM resolved)"
+    )
+
+
+def kg_version_diff_sql() -> str:
+    """Oracle for the snapshot changelog (mirror of
+    kgx.plans.versions.snapshot_diff over two simulated runs: the old run
+    pre-dates the `acquired` pattern and misses the doc_id % 3 = 0 docs;
+    the new run retired doc_id % 5 = 4): full outer join on the triple
+    key, rows only in new are 'added', only in old are 'removed'."""
+    return f"""
+WITH {_tri_cte_head()},
+vd_old AS (SELECT * FROM tri
+           WHERE pred != 'acquired' AND CAST(substr(doc_id, 5) AS BIGINT) % 3 != 0),
+vd_new AS (SELECT * FROM tri WHERE CAST(substr(doc_id, 5) AS BIGINT) % 5 != 4)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       coalesce(o.subj, n.subj) AS subj,
+       coalesce(o.pred, n.pred) AS pred,
+       coalesce(o.obj, n.obj) AS obj,
+       CASE WHEN o.doc_id IS NULL THEN 'added' ELSE 'removed' END AS status
+FROM vd_old o
+FULL OUTER JOIN vd_new n
+  ON o.doc_id = n.doc_id AND o.subj = n.subj
+ AND o.pred = n.pred AND o.obj = n.obj
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+""".strip()
+
+
+def kg_negative_samples_sql(k: int = 2, buckets: int = 64) -> str:
+    """Oracle for hash-bucketed negative sampling (mirror of
+    kgx.operators.graphstats.negative_samples): md5-60 of
+    subj|pred|obj|j picks bucket and in-bucket rank over the
+    label-ordered numbered node table; accidental positives dropped."""
+    h = _duck_md5_60("concat_ws('|', subj, pred, obj, CAST(j AS VARCHAR))")
+    js = "\n    UNION ALL ".join(f"SELECT {j} AS j" for j in range(k))
+    return f"""
+WITH {_tri_cte_head()},
+ns_tri AS (SELECT DISTINCT subj, pred, obj FROM tri),
+ns_nodes AS (
+    SELECT label, {_duck_md5_60('label')} % {buckets} AS bucket
+    FROM (SELECT subj AS label FROM ns_tri UNION SELECT obj FROM ns_tri)
+),
+ns_num AS MATERIALIZED (
+    SELECT label, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY label) - 1 AS idx
+    FROM ns_nodes
+),
+ns_sizes AS (SELECT bucket, count(*) AS bsize FROM ns_num GROUP BY 1),
+ns_j AS ({js}),
+ns_cand AS (
+    SELECT subj, pred, obj, j, h % {buckets} AS bucket, h // {buckets} AS rest
+    FROM (SELECT subj, pred, obj, j, {h} AS h FROM ns_tri CROSS JOIN ns_j)
+),
+ns_pick AS (
+    SELECT c.subj, c.pred, c.obj, c.j, c.bucket, c.rest % s.bsize AS idx
+    FROM ns_cand c JOIN ns_sizes s USING (bucket)
+)
+SELECT p.subj, p.pred, p.obj, CAST(p.j AS BIGINT) AS sample_idx,
+       n.label AS neg_obj
+FROM ns_pick p JOIN ns_num n USING (bucket, idx)
+WHERE n.label <> p.obj
+""".strip()
+
+
 def graph_triangles_sql() -> str:
     """Oracle for per-node triangle participation (mirror of
     kgx.operators.graphstats.triangle_counts: canonical undirected edges,

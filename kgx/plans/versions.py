@@ -42,3 +42,30 @@ def retention_delete_set(versioned: DataFrame, keep: int, key: str = "doc_id") -
         .where(F.col("__r") > keep)
         .drop("__r")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-level diff between two snapshot states: rows only in ``new``
+    are ``'added'``, rows only in ``old`` are ``'removed'`` — the
+    changelog a MERGE against an Iceberg/Delta graph table would apply,
+    and the reference's version-to-version story (models.py:29-46: an
+    update replaces a doc's whole graph with a new version row) expressed
+    as an auditable delta instead of a blind overwrite.
+
+    Plan shape: both sides dedup to the key columns, then ONE
+    hash-partitioned full-outer equi-join on the composite key — the only
+    shuffle, AQE-sized; nothing but key columns crosses it, so at 100 TB
+    the diff costs what the narrower of the two snapshot scans costs.
+    """
+    o = old.select(*keys).distinct().withColumn("__in_old", F.lit(1))
+    n = new.select(*keys).distinct().withColumn("__in_new", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    return (
+        j.where(F.col("__in_old").isNull() | F.col("__in_new").isNull())
+        .select(
+            *keys,
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("status"),
+        )
+    )

@@ -381,3 +381,66 @@ def test_kcore_direction_and_dup_insensitive(spark):
     g1 = graphstats.kcore(_triples_df(spark, base)).collect()
     g2 = graphstats.kcore(_triples_df(spark, flipped)).collect()
     assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))
+
+
+def _md5_60(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_negative_samples(triples, k=2, buckets=64):
+    """Driver-side reference: replay the md5-60 bucket/rank arithmetic."""
+    tri = sorted(set(triples))
+    labels = sorted({t[0] for t in tri} | {t[2] for t in tri})
+    by_bucket = {}
+    for lb in labels:  # labels sorted ⇒ ranks are label-ordered
+        by_bucket.setdefault(_md5_60(lb) % buckets, []).append(lb)
+    out = set()
+    for s, p, o in tri:
+        for j in range(k):
+            h = _md5_60(f"{s}|{p}|{o}|{j}")
+            cell = by_bucket.get(h % buckets)
+            if not cell:
+                continue
+            neg = cell[(h // buckets) % len(cell)]
+            if neg != o:
+                out.add((s, p, o, j, neg))
+    return out
+
+
+def test_negative_samples_match_python_reference(spark):
+    rng = random.Random(11)
+    nodes = [f"ent{i}" for i in range(30)]
+    triples = {
+        (rng.choice(nodes), rng.choice(["r1", "r2"]), rng.choice(nodes))
+        for _ in range(80)
+    }
+    triples = [(s, p, o) for s, p, o in triples if s != o]
+    df = spark.createDataFrame(
+        [(f"d{i}", s, p, o) for i, (s, p, o) in enumerate(triples)],
+        "doc_id string, subj string, pred string, obj string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj, r.sample_idx, r.neg_obj)
+        for r in graphstats.negative_samples(df, k=2, buckets=8).collect()
+    }
+    assert got == _py_negative_samples(triples, k=2, buckets=8)
+
+
+def test_negative_samples_laws(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    df = _triples_df(spark, edges)
+    rows = graphstats.negative_samples(df, k=3, buckets=4).collect()
+    labels = {u for u, _ in edges} | {v for _, v in edges}
+    per_triple = {}
+    for r in rows:
+        assert r.neg_obj != r.obj          # no accidental positives
+        assert r.neg_obj in labels         # replacement from the node set
+        assert 0 <= r.sample_idx < 3
+        per_triple.setdefault((r.subj, r.pred, r.obj), set()).add(r.sample_idx)
+    assert all(len(js) <= 3 for js in per_triple.values())
+    again = graphstats.negative_samples(df, k=3, buckets=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # deterministic
+    with pytest.raises(ValueError):
+        graphstats.negative_samples(df, k=0)

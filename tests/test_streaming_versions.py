@@ -291,3 +291,40 @@ def test_streaming_sketches_equal_batch(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(os.path.join(out_dir, "cm_deltas")).count() == n_rows
     )
+
+
+def test_snapshot_diff_semantics(spark):
+    from kgx.plans import versions
+
+    old = spark.createDataFrame(
+        [("d1", "a", "r", "b"), ("d1", "a", "r", "c"), ("d2", "x", "r", "y")],
+        "doc_id string, subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("d1", "a", "r", "b"), ("d1", "a", "r", "z"), ("d3", "m", "r", "n")],
+        "doc_id string, subj string, pred string, obj string",
+    )
+    got = {
+        (r.doc_id, r.subj, r.pred, r.obj): r.status
+        for r in versions.snapshot_diff(
+            old, new, ["doc_id", "subj", "pred", "obj"]
+        ).collect()
+    }
+    assert got == {
+        ("d1", "a", "r", "c"): "removed",
+        ("d2", "x", "r", "y"): "removed",
+        ("d1", "a", "r", "z"): "added",
+        ("d3", "m", "r", "n"): "added",
+    }
+
+
+def test_snapshot_diff_dup_insensitive_and_empty(spark):
+    from kgx.plans import versions
+
+    a = spark.createDataFrame(
+        [("d1", "a"), ("d1", "a"), ("d2", "b")], "doc_id string, subj string"
+    )
+    b = spark.createDataFrame([("d2", "b")], "doc_id string, subj string")
+    got = versions.snapshot_diff(a, b, ["doc_id", "subj"]).collect()
+    assert [(r.doc_id, r.subj, r.status) for r in got] == [("d1", "a", "removed")]
+    assert versions.snapshot_diff(a, a, ["doc_id", "subj"]).count() == 0
