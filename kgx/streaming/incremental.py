@@ -215,6 +215,9 @@ def start_sketch_maintenance(
     m: int = 64,
     depth: int = 4,
     width: int = 256,
+    member_expr: str | None = None,
+    m_bits: int = 65536,
+    bloom_k: int = 4,
     available_now: bool = True,
 ):
     """Maintain HLL + count-min sketches over an event stream — the
@@ -230,6 +233,12 @@ def start_sketch_maintenance(
     double-counting), and :func:`current_sketches` is a groupBy max/sum
     over deltas.  Streaming == batch equality asserted by
     tests/test_streaming_versions.py.
+
+    ``member_expr`` additionally maintains the Bloom MEMBERSHIP bitmap
+    (kgx.operators.sketches.bloom_registers; merge = element-wise
+    ``bit_or``, ≤ m_bits/32 delta rows per batch) — the live
+    decontamination screen: probe any candidate against
+    :func:`current_bloom` without re-scanning history.
     """
     from kgx.operators import sketches
 
@@ -240,7 +249,13 @@ def start_sketch_maintenance(
         cm = sketches.cm_registers(batch_df, freq_expr, depth, width).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        for delta, sub in ((hll, "hll_deltas"), (cm, "cm_deltas")):
+        outputs = [(hll, "hll_deltas"), (cm, "cm_deltas")]
+        if member_expr is not None:
+            bl = sketches.bloom_registers(
+                batch_df, member_expr, m_bits, bloom_k
+            ).withColumn("batch_id", F.lit(batch_id))
+            outputs.append((bl, "bloom_deltas"))
+        for delta, sub in outputs:
             (
                 delta.coalesce(1)
                 .write.mode("overwrite")
@@ -274,3 +289,14 @@ def current_sketches(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return hll, cm
+
+
+def current_bloom(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live Bloom bitmap: bloom_deltas merged with the bitmap's merge
+    law (element-wise ``bit_or`` — identical to how a second cluster's
+    registers would fold in)."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "bloom_deltas"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )

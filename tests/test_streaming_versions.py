@@ -266,6 +266,7 @@ def test_streaming_sketches_equal_batch(spark, sf_dir, tmp_path):
         schema="event_id bigint, user_id bigint",
         distinct_expr="cast(event_id as string)",
         freq_expr="cast(user_id as string)",
+        member_expr="cast(user_id as string)",
     )
     q = incremental.start_sketch_maintenance(spark, in_dir, out_dir, **kwargs)
     q.awaitTermination(120)
@@ -283,6 +284,12 @@ def test_streaming_sketches_equal_batch(spark, sf_dir, tmp_path):
     }
     assert {tuple(r) for r in hll.collect()} == want_hll
     assert {tuple(r) for r in cm.collect()} == want_cm
+    bloom = incremental.current_bloom(spark, out_dir)
+    want_bloom = {
+        tuple(r)
+        for r in sketches.bloom_registers(ev, "cast(user_id as string)").collect()
+    }
+    assert {tuple(r) for r in bloom.collect()} == want_bloom
 
     # restart with the same checkpoint: no pending input -> deltas unchanged
     n_rows = spark.read.parquet(os.path.join(out_dir, "cm_deltas")).count()
