@@ -8,9 +8,13 @@ Consumes the triples table a finished jobs/run_pipeline.py run materialized
         --pagerank-iters 5 --checkpoint-every 0
 
 Outputs: ``<out>/degrees`` (label, out_degree, in_degree, degree),
-``<out>/pagerank`` (label, rank — integer-arithmetic, deterministic) and
-``<out>/triangles`` (label, triangles, degree).  Prints one JSON metrics
-line (node/edge counts, top-ranked label).
+``<out>/pagerank`` (label, rank — integer-arithmetic, deterministic),
+``<out>/triangles`` (label, triangles, degree), ``<out>/communities``
+(label, community — deterministic LPA), ``<out>/kcore`` (label,
+core_degree — peeled to the FIXPOINT, eager per-round checkpoints) and
+``<out>/negatives`` (subj, pred, obj, sample_idx, neg_obj — contrastive
+training samples).  Prints one JSON metrics line (node/edge counts,
+top-ranked label, k-core rounds-to-fixpoint).
 """
 
 from __future__ import annotations
@@ -27,6 +31,11 @@ def main(argv=None) -> int:
     p.add_argument("--pagerank-iters", type=int, default=5)
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="localCheckpoint cadence for deep pagerank runs (0 = off)")
+    p.add_argument("--lpa-iters", type=int, default=3)
+    p.add_argument("--kcore-k", type=int, default=2)
+    p.add_argument("--negatives-k", type=int, default=2,
+                   help="negative samples per distinct triple (0 = skip)")
+    p.add_argument("--negatives-buckets", type=int, default=64)
     p.add_argument("--master", default=None, help="override (sandbox runs)")
     args = p.parse_args(argv)
 
@@ -53,10 +62,22 @@ def main(argv=None) -> int:
         checkpoint_every=args.checkpoint_every or None,
     )
     triangles = graphstats.triangle_counts(edges.select("subj", "obj"))
+    communities = graphstats.label_propagation(
+        edges.select("subj", "obj"), iters=args.lpa_iters
+    )
+    core, kcore_rounds = graphstats.kcore_fixpoint(
+        edges.select("subj", "obj"), k=args.kcore_k
+    )
 
     degrees.write.mode("overwrite").parquet(args.out + "/degrees")
     ranks.write.mode("overwrite").parquet(args.out + "/pagerank")
     triangles.write.mode("overwrite").parquet(args.out + "/triangles")
+    communities.write.mode("overwrite").parquet(args.out + "/communities")
+    core.write.mode("overwrite").parquet(args.out + "/kcore")
+    if args.negatives_k:
+        graphstats.negative_samples(
+            triples, k=args.negatives_k, buckets=args.negatives_buckets
+        ).write.mode("overwrite").parquet(args.out + "/negatives")
 
     top = (
         spark.read.parquet(args.out + "/pagerank")
@@ -74,6 +95,10 @@ def main(argv=None) -> int:
         "top_label": top["label"],
         "top_rank": int(top["rank"]),
         "pagerank_iters": args.pagerank_iters,
+        "communities": spark.read.parquet(args.out + "/communities")
+        .select("community").distinct().count(),
+        "kcore_nodes": spark.read.parquet(args.out + "/kcore").count(),
+        "kcore_rounds": kcore_rounds,
     }
     edges.unpersist()
     print(json.dumps(metrics))

@@ -401,3 +401,44 @@ def negative_samples(
             F.col("label").alias("neg_obj"),
         )
     )
+
+
+def kcore_fixpoint(
+    triples: DataFrame, k: int = 2, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """k-core peel run to the FIXPOINT (for jobs; the gate query
+    :func:`kcore` uses a fixed round count so its oracle can unroll).
+    Returns (core degrees, rounds used).  Each round's edge list is
+    already an eager ``localCheckpoint`` (see :func:`kcore`), so the
+    driver-side convergence test reads a materialized count — no extra
+    evaluation; lineage stays one round deep regardless of depth.
+    """
+    e = edge_list(triples)
+    und = (
+        e.union(e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = und.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        keep = (
+            und.groupBy("subj")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("subj")
+        )
+        und = (
+            und.join(keep, "subj", "left_semi")
+            .join(keep.withColumnRenamed("subj", "obj"), "obj", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        m = und.count()
+        if m == n:
+            break
+        n = m
+    core = und.groupBy(F.col("subj").alias("label")).agg(
+        F.count("*").cast("long").alias("core_degree")
+    )
+    return core, rounds

@@ -444,3 +444,16 @@ def test_negative_samples_laws(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # deterministic
     with pytest.raises(ValueError):
         graphstats.negative_samples(df, k=0)
+
+
+def test_kcore_fixpoint_converges_and_matches_reference(spark):
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "p"), ("p", "q"), ("q", "r")]
+    core, rounds = graphstats.kcore_fixpoint(
+        _triples_df(spark, clique + chain), k=2
+    )
+    got = {r.label: r.core_degree for r in core.collect()}
+    # the 3-link pendant chain needs 3 peel rounds (+1 no-op to certify)
+    assert rounds == 4
+    assert got == _py_kcore(clique + chain, k=2, iters=rounds)
+    assert set(got) == set("abcd") and all(v == 3 for v in got.values())
