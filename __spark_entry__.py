@@ -590,6 +590,19 @@ def q_contamination(spark, sf_dir):
     return curation.contamination_screen(_documents(spark, sf_dir), n=3)
 
 
+def q_hist_registers(spark, sf_dir):
+    """Log2 histogram of event values in cents (NEW r4) — the
+    distribution sibling of the HLL/count-min/Bloom registers (≤65 bins,
+    element-wise-sum mergeable, ±2× quantile bounds driver-side without a
+    global sort).  floor(value * 100) is IEEE-identical cross-engine
+    where round() would not be."""
+    from kgx.operators import sketches
+    from kgx.sources.docs import spread_small_scan
+
+    ev = spread_small_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return sketches.hist_registers(ev, "cast(floor(value * 100) as bigint)")
+
+
 def q_bloom_registers(spark, sf_dir):
     """Bloom-filter bitmap of the benchmark slice's shingle hashes (NEW
     r4) — the membership sibling of the HLL/count-min sketches: 32-bit
@@ -1196,12 +1209,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 84 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
+    """All 85 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
     driver's correctness gate records the FIRST 50 entries only, so the
     dict is split into an explicit gate set (the 50 highest-information
     rows: the full reference extraction contract kg_*/link_*, every dedup
     / similarity / curation family head, and this round's bugfix witness
-    s2_binary_ingest) followed by the rotation remainder (34 rows, every
+    s2_binary_ingest) followed by the rotation remainder (35 rows, every
     one still oracle-backed).  docs/COVERAGE.md maps each remainder row to
     its judge-verifiable one-liner:
     ``python tools/compare_oracle.py /root/testdata/sf0.01 <name>``."""
@@ -1299,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_registers": q_cm_registers,
         "bloom_registers": q_bloom_registers,
         "bloom_contamination": q_bloom_contamination,
+        "hist_registers": q_hist_registers,
         "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
@@ -1393,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": oracles.hll_registers_sql(m=64),
         "bloom_registers": oracles.bloom_registers_sql(bench_mod=19, n=3),
         "bloom_contamination": oracles.bloom_contamination_sql(bench_mod=19, n=3),
+        "hist_registers": oracles.hist_registers_sql(),
         "cm_registers": oracles.cm_registers_sql(
             "cast(user_id as varchar)", depth=4, width=256
         ),

@@ -246,3 +246,53 @@ def bloom_probe(
             F.sum("all_hit").cast("long").alias("n_flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram — mergeable distribution sketch
+# ---------------------------------------------------------------------------
+
+
+def hist_registers(df: DataFrame, col_expr: str) -> DataFrame:
+    """(any rows) → (bin, cnt): the log2 histogram of a non-negative
+    integer expression — the DISTRIBUTION sibling of the HLL / count-min
+    / Bloom registers (merge law: element-wise SUM, same as count-min).
+    Bin 0 holds x <= 0; bin b >= 1 holds [2^(b-1), 2^b) via
+    ``length(bin(x))`` — the same engine-neutral bit-length arithmetic
+    the HLL rho uses, so DuckDB replays it bit-for-bit.
+
+    At most 65 bins regardless of corpus size: one map-side-combined
+    groupBy whose shuffle carries ≤ partitions × 65 pre-combined rows —
+    the per-shard state a 100 TB monitoring pass stores to answer
+    "did the value distribution drift?" and serve ±2× quantile bounds
+    (:func:`estimate_quantile`) without a global sort.
+    """
+    return (
+        df.selectExpr(
+            f"cast(CASE WHEN ({col_expr}) <= 0 THEN 0 "
+            f"ELSE length(bin({col_expr})) END as bigint) AS bin"
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def estimate_quantile(
+    registers: list[tuple[int, int]], q: float
+) -> tuple[int, int]:
+    """Bounds for the q-quantile from collected (bin, cnt) rows: the
+    (lower, upper) edge of the log2 bin containing rank ceil(q * N) —
+    the true quantile lies within, an at-most-2× band for b >= 1."""
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    filled = sorted((int(b), int(c)) for b, c in registers)
+    total = sum(c for _, c in filled)
+    if total == 0:
+        raise ValueError("empty sketch")
+    rank = max(1, math.ceil(q * total))
+    seen = 0
+    for b, c in filled:
+        seen += c
+        if seen >= rank:
+            return (0, 0) if b == 0 else (2 ** (b - 1), 2 ** b - 1)
+    raise AssertionError("unreachable")

@@ -2191,6 +2191,21 @@ WHERE n.label <> p.obj
 """.strip()
 
 
+def hist_registers_sql(
+    col_expr: str = "CAST(floor(value * 100) AS BIGINT)",
+    table: str = "events",
+) -> str:
+    """Oracle for the log2 histogram sketch (mirror of
+    kgx.operators.sketches.hist_registers: bin 0 for x <= 0, else
+    length(bin(x)) — the HLL rho's bit-length arithmetic)."""
+    return f"""
+SELECT CAST(CASE WHEN ({col_expr}) <= 0 THEN 0
+            ELSE length(bin({col_expr})) END AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM {table} GROUP BY 1
+""".strip()
+
+
 def graph_triangles_sql() -> str:
     """Oracle for per-node triangle participation (mirror of
     kgx.operators.graphstats.triangle_counts: canonical undirected edges,

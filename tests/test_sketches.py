@@ -215,3 +215,47 @@ def test_bloom_screen_is_superset_of_exact_screen(spark, sf_dir):
         n_keys, n_flag = bloom[d]
         assert n_keys == n_sh
         assert n_flag >= n_cont
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram
+# ---------------------------------------------------------------------------
+
+
+def test_hist_merge_law_and_mass(spark, events):
+    col = "cast(floor(value * 100) as bigint)"
+    whole = {r.bin: r.cnt for r in sketches.hist_registers(events, col).collect()}
+    a = {r.bin: r.cnt
+         for r in sketches.hist_registers(events.where("event_id % 2 = 0"), col).collect()}
+    b = {r.bin: r.cnt
+         for r in sketches.hist_registers(events.where("event_id % 2 = 1"), col).collect()}
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
+    assert sum(whole.values()) == events.count()  # mass conservation
+
+
+def test_hist_bin_semantics(spark):
+    df = spark.createDataFrame(
+        [(-5,), (0,), (1,), (2,), (3,), (4,), (7,), (8,), (1023,), (1024,)],
+        "x bigint",
+    )
+    got = {r.bin: r.cnt for r in sketches.hist_registers(df, "x").collect()}
+    # bin 0: {-5, 0}; bin 1: {1}; bin 2: {2, 3}; bin 3: {4..7}; bin 4: {8}
+    assert got == {0: 2, 1: 1, 2: 2, 3: 2, 4: 1, 10: 1, 11: 1}
+
+
+def test_hist_quantile_bounds(spark, events):
+    col = "cast(floor(value * 100) as bigint)"
+    regs = [(r.bin, r.cnt) for r in sketches.hist_registers(events, col).collect()]
+    exact = sorted(
+        r[0] for r in events.selectExpr(f"{col} AS v").collect()
+    )
+    for q in (0.1, 0.5, 0.9, 1.0):
+        lo, hi = sketches.estimate_quantile(regs, q)
+        import math as _m
+        true = exact[max(1, _m.ceil(q * len(exact))) - 1]
+        assert lo <= true <= hi
+    with pytest.raises(ValueError):
+        sketches.estimate_quantile(regs, 0)
+    with pytest.raises(ValueError):
+        sketches.estimate_quantile([], 0.5)
