@@ -478,6 +478,19 @@ def q_graph_triangles(spark, sf_dir):
     return graphstats.triangle_counts(extract.triples_table(_graphs(spark, sf_dir)))
 
 
+def q_graph_link_candidates(spark, sf_dir):
+    """Common-neighbor link-prediction candidates over the KG (NEW r4):
+    in-row wedge enumeration from sorted neighbor arrays with a
+    max_degree hub cap (a degree-d hub would emit d² pairs — same
+    quadratic-flood guard as the LSH band caps), exact Jaccard in floor
+    basis points, is_edge flag for KG-completion filtering."""
+    from kgx.operators import extract, graphstats
+
+    return graphstats.common_neighbor_candidates(
+        extract.triples_table(_graphs(spark, sf_dir)), max_degree=64, min_common=2
+    )
+
+
 def q_kg_version_diff(spark, sf_dir):
     """Snapshot changelog between two simulated pipeline runs (NEW r4):
     the old run pre-dates the `acquired` extraction pattern and misses
@@ -1209,12 +1222,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 85 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
+    """All 86 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
     driver's correctness gate records the FIRST 50 entries only, so the
     dict is split into an explicit gate set (the 50 highest-information
     rows: the full reference extraction contract kg_*/link_*, every dedup
     / similarity / curation family head, and this round's bugfix witness
-    s2_binary_ingest) followed by the rotation remainder (35 rows, every
+    s2_binary_ingest) followed by the rotation remainder (36 rows, every
     one still oracle-backed).  docs/COVERAGE.md maps each remainder row to
     its judge-verifiable one-liner:
     ``python tools/compare_oracle.py /root/testdata/sf0.01 <name>``."""
@@ -1300,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_entity_pmi": q_graph_entity_pmi,
         "graph_kcore": q_graph_kcore,
         "kg_version_diff": q_kg_version_diff,
+        "graph_link_candidates": q_graph_link_candidates,
         "kg_negative_samples": q_kg_negative_samples,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
@@ -1355,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_label_prop": oracles.graph_label_prop_sql(),
         "graph_kcore": oracles.graph_kcore_sql(),
         "kg_version_diff": oracles.kg_version_diff_sql(),
+        "graph_link_candidates": oracles.graph_link_candidates_sql(),
         "kg_negative_samples": oracles.kg_negative_samples_sql(),
         "graph_entity_pmi": oracles.entity_pmi_sql(),
         "balanced_sample": oracles.balanced_sample_sql(),

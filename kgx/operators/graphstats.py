@@ -442,3 +442,80 @@ def kcore_fixpoint(
         F.count("*").cast("long").alias("core_degree")
     )
     return core, rounds
+
+
+def common_neighbor_candidates(
+    triples: DataFrame, max_degree: int = 64, min_common: int = 2
+) -> DataFrame:
+    """Link-prediction candidate generation over the KG: node pairs that
+    share >= ``min_common`` neighbors, with their exact common-neighbor
+    count, floor-divided Jaccard similarity in basis points, and whether
+    the pair is ALREADY an edge (candidates for KG completion are the
+    ``is_edge = 0`` rows; the ``is_edge = 1`` rows are the confidence
+    signal for existing edges).  Output: (label_a, label_b,
+    common_neighbors, degree_a, degree_b, jaccard_bp, is_edge).
+
+    Skew contract: wedges are enumerated IN-ROW from each center node's
+    sorted neighbor array (the entity_cooccurrence pattern — no
+    self-join), and centers with degree > ``max_degree`` are EXCLUDED
+    from wedge generation — a hub with degree d would emit d² pairs, the
+    same quadratic flood the MinHash/SimHash band caps guard against
+    (kgx.operators.dedup).  Hub neighborhoods still participate through
+    their non-hub co-neighbors; full (uncapped) degrees are used for the
+    Jaccard denominator.  One count aggregate on (a, b), two AQE-decided
+    margin joins, one left join onto the canonical edge set.
+    """
+    e = edge_list(triples)
+    und = e.union(
+        e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    deg = und.groupBy("subj").agg(F.count("*").cast("long").alias("deg"))
+    nbrs = und.groupBy("subj").agg(
+        F.sort_array(F.collect_list("obj")).alias("ns")
+    )
+    pairs = (
+        nbrs.where(F.size("ns") <= max_degree)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), y -> "
+                    "named_struct('label_a', x, 'label_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.label_a", "p.label_b")
+    )
+    cn = (
+        pairs.groupBy("label_a", "label_b")
+        .agg(F.count("*").cast("long").alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    canon = und.where(F.col("subj") < F.col("obj")).select(
+        F.col("subj").alias("label_a"),
+        F.col("obj").alias("label_b"),
+        F.lit(1).cast("long").alias("edge_flag"),
+    )
+    return (
+        cn.join(
+            deg.select(F.col("subj").alias("label_a"), F.col("deg").alias("degree_a")),
+            "label_a",
+        )
+        .join(
+            deg.select(F.col("subj").alias("label_b"), F.col("deg").alias("degree_b")),
+            "label_b",
+        )
+        .join(canon, ["label_a", "label_b"], "left")
+        .select(
+            "label_a",
+            "label_b",
+            "common_neighbors",
+            "degree_a",
+            "degree_b",
+            F.expr(
+                "(10000 * common_neighbors) div "
+                "(degree_a + degree_b - common_neighbors)"
+            ).cast("long").alias("jaccard_bp"),
+            F.coalesce("edge_flag", F.lit(0)).cast("long").alias("is_edge"),
+        )
+    )

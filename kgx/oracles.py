@@ -2206,6 +2206,48 @@ FROM {table} GROUP BY 1
 """.strip()
 
 
+def graph_link_candidates_sql(max_degree: int = 64, min_common: int = 2) -> str:
+    """Oracle for common-neighbor link-prediction candidates (mirror of
+    kgx.operators.graphstats.common_neighbor_candidates): undirected
+    distinct edges, wedges from centers with degree <= max_degree only
+    (the hub cap), full degrees in the Jaccard denominator, left join
+    onto the canonical u < v edge set for is_edge."""
+    return f"""
+{_graph_edges_ctes()},
+lc_und AS MATERIALIZED (
+    SELECT subj, obj FROM gr_edges UNION SELECT obj, subj FROM gr_edges
+),
+lc_deg AS MATERIALIZED (
+    SELECT subj, CAST(count(*) AS BIGINT) AS deg FROM lc_und GROUP BY 1
+),
+lc_wedge AS (
+    SELECT a.obj AS label_a, b.obj AS label_b
+    FROM lc_und a
+    JOIN lc_und b ON a.subj = b.subj AND a.obj < b.obj
+    JOIN lc_deg d ON d.subj = a.subj
+    WHERE d.deg <= {max_degree}
+),
+lc_cn AS (
+    SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS common_neighbors
+    FROM lc_wedge GROUP BY 1, 2
+    HAVING count(*) >= {min_common}
+),
+lc_canon AS (
+    SELECT subj AS label_a, obj AS label_b, CAST(1 AS BIGINT) AS edge_flag
+    FROM lc_und WHERE subj < obj
+)
+SELECT c.label_a, c.label_b, c.common_neighbors,
+       da.deg AS degree_a, db.deg AS degree_b,
+       CAST((10000 * c.common_neighbors) //
+            (da.deg + db.deg - c.common_neighbors) AS BIGINT) AS jaccard_bp,
+       CAST(coalesce(e.edge_flag, 0) AS BIGINT) AS is_edge
+FROM lc_cn c
+JOIN lc_deg da ON da.subj = c.label_a
+JOIN lc_deg db ON db.subj = c.label_b
+LEFT JOIN lc_canon e ON e.label_a = c.label_a AND e.label_b = c.label_b
+""".strip()
+
+
 def graph_triangles_sql() -> str:
     """Oracle for per-node triangle participation (mirror of
     kgx.operators.graphstats.triangle_counts: canonical undirected edges,

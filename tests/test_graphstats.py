@@ -457,3 +457,66 @@ def test_kcore_fixpoint_converges_and_matches_reference(spark):
     assert rounds == 4
     assert got == _py_kcore(clique + chain, k=2, iters=rounds)
     assert set(got) == set("abcd") and all(v == 3 for v in got.values())
+
+
+def _py_link_candidates(edges, max_degree=64, min_common=2):
+    """Driver-side reference for common-neighbor candidates."""
+    und = set()
+    for u, v in set(edges):
+        if u != v:
+            und.add((u, v)); und.add((v, u))
+    nbrs, deg = {}, {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        deg[u] = deg.get(u, 0) + 1
+    cn = {}
+    for c, ns in nbrs.items():
+        if len(ns) > max_degree:
+            continue
+        ns = sorted(ns)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                cn[(a, b)] = cn.get((a, b), 0) + 1
+    out = {}
+    for (a, b), c in cn.items():
+        if c < min_common:
+            continue
+        jac = (10000 * c) // (deg[a] + deg[b] - c)
+        out[(a, b)] = (c, deg[a], deg[b], jac, 1 if (a, b) in und else 0)
+    return out
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_link_candidates_match_reference(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = [
+        (u, v)
+        for u, v in {(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)}
+        if u != v
+    ]
+    got = {
+        (r.label_a, r.label_b): (
+            r.common_neighbors, r.degree_a, r.degree_b, r.jaccard_bp, r.is_edge
+        )
+        for r in graphstats.common_neighbor_candidates(
+            _triples_df(spark, edges), max_degree=6, min_common=2
+        ).collect()
+    }
+    assert got == _py_link_candidates(edges, max_degree=6, min_common=2)
+
+
+def test_link_candidates_hub_cap_drops_hub_wedges(spark):
+    # star: hub h connected to 8 leaves; every leaf pair shares ONLY h.
+    # With max_degree < 8 the hub generates no wedges -> no candidates.
+    star = [("h", f"l{i}") for i in range(8)]
+    none = graphstats.common_neighbor_candidates(
+        _triples_df(spark, star), max_degree=4, min_common=1
+    ).collect()
+    assert none == []
+    # uncapped, all 28 leaf pairs appear with exactly one common neighbor
+    full = graphstats.common_neighbor_candidates(
+        _triples_df(spark, star), max_degree=64, min_common=1
+    ).collect()
+    assert len(full) == 28  # all C(8,2) leaf pairs, one common neighbor each
+    assert all(r.common_neighbors == 1 and r.is_edge == 0 for r in full)
