@@ -1283,10 +1283,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out — its anti-join sibling stays, and LEFT SEMI is pinned
         # by pytest + the oracle one-liner (docs/COVERAGE.md).
         "s2_binary_ingest": q_s2_binary_ingest,
-        "a3_latest_order_per_customer": q_latest_order_per_customer,
+        # r4 session-4: graph_kcore + bloom_contamination promoted into the
+        # gate (witnesses for the two new operator families: bounded-round
+        # iterative peel with per-round lineage cuts, and the mergeable
+        # Bloom bitmap + broadcast probe).  Rotated out in their place:
+        # a3_latest_order_per_customer (top-1-per-group family stays
+        # in-gate via w2_latest_event_per_user; JN3/W2 semantics identical)
+        # and a9_rollup_order_stats (grouping-sets family; its quantile
+        # sibling a8 stays in-gate).  Both remain oracle-backed one-liners
+        # (docs/COVERAGE.md).
+        "graph_kcore": q_graph_kcore,
         "a1_pricing_summary": q_pricing_summary,
         "a8_event_value_quantiles": q_a8_event_value_quantiles,
-        "a9_rollup_order_stats": q_a9_rollup_order_stats,
+        "bloom_contamination": q_bloom_contamination,
         "jn2_graph_fetch": q_jn2_graph_fetch,
         "a7_bucket_metrics": q_a7_bucket_metrics,
         "fn_scalar_suite": q_fn_scalar_suite,
@@ -1311,7 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "graph_label_prop": q_graph_label_prop,
         "graph_entity_pmi": q_graph_entity_pmi,
-        "graph_kcore": q_graph_kcore,
+        "a3_latest_order_per_customer": q_latest_order_per_customer,
+        "a9_rollup_order_stats": q_a9_rollup_order_stats,
         "kg_version_diff": q_kg_version_diff,
         "graph_link_candidates": q_graph_link_candidates,
         "kg_negative_samples": q_kg_negative_samples,
@@ -1325,7 +1335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "cm_registers": q_cm_registers,
         "bloom_registers": q_bloom_registers,
-        "bloom_contamination": q_bloom_contamination,
         "hist_registers": q_hist_registers,
         "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
