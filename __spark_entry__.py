@@ -603,6 +603,21 @@ def q_contamination(spark, sf_dir):
     return curation.contamination_screen(_documents(spark, sf_dir), n=3)
 
 
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter candidates consumed from the count-min sketch
+    in-engine (NEW r4): estimate = min over depth cells via a broadcast
+    register join, threshold filter, exact count beside — the
+    sketch-screen-then-exact-recount two-phase pattern on one oracle-
+    replayable table (est >= exact on every row by construction)."""
+    from kgx.operators import sketches
+    from kgx.sources.docs import spread_small_scan
+
+    ev = spread_small_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return sketches.cm_heavy_hitters(
+        ev, "cast(user_id as string)", threshold=75, depth=4, width=256
+    )
+
+
 def q_hist_registers(spark, sf_dir):
     """Log2 histogram of event values in cents (NEW r4) — the
     distribution sibling of the HLL/count-min/Bloom registers (≤65 bins,
@@ -1222,12 +1237,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 86 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
+    """All 87 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
     driver's correctness gate records the FIRST 50 entries only, so the
     dict is split into an explicit gate set (the 50 highest-information
     rows: the full reference extraction contract kg_*/link_*, every dedup
     / similarity / curation family head, and this round's bugfix witness
-    s2_binary_ingest) followed by the rotation remainder (36 rows, every
+    s2_binary_ingest) followed by the rotation remainder (37 rows, every
     one still oracle-backed).  docs/COVERAGE.md maps each remainder row to
     its judge-verifiable one-liner:
     ``python tools/compare_oracle.py /root/testdata/sf0.01 <name>``."""
@@ -1336,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_registers": q_cm_registers,
         "bloom_registers": q_bloom_registers,
         "hist_registers": q_hist_registers,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
@@ -1432,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_registers": oracles.bloom_registers_sql(bench_mod=19, n=3),
         "bloom_contamination": oracles.bloom_contamination_sql(bench_mod=19, n=3),
         "hist_registers": oracles.hist_registers_sql(),
+        "cm_heavy_hitters": oracles.cm_heavy_hitters_sql(threshold=75),
         "cm_registers": oracles.cm_registers_sql(
             "cast(user_id as varchar)", depth=4, width=256
         ),

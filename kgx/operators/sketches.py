@@ -296,3 +296,52 @@ def estimate_quantile(
         if seen >= rank:
             return (0, 0) if b == 0 else (2 ** (b - 1), 2 ** b - 1)
     raise AssertionError("unreachable")
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    col_expr: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Heavy-hitter candidates CONSUMED from the count-min sketch
+    in-engine: every distinct key whose sketch estimate (min over the
+    depth rows of its cell) reaches ``threshold``, with the exact count
+    beside it.  Output: (key, est_count, exact_count).
+
+    The never-underestimate guarantee becomes data: ``est_count >=
+    exact_count`` on every row, so the candidate set is a SUPERSET of the
+    true heavy hitters — the two-phase pattern a 100 TB frequency pass
+    runs (cheap sketch screen over everything, exact recount only for the
+    tiny candidate set; here both phases are shown on one table so the
+    oracle can replay the whole chain).
+
+    Plan shape: the register table (≤ depth × width rows) is built once
+    and joined BROADCAST onto the per-key derived cells; both aggregates
+    are map-side-combined on bounded keys.
+    """
+    from kgx.functions.hashing import minhash_derived
+
+    regs = cm_registers(df, col_expr, depth, width)
+    keys = (
+        df.selectExpr(f"{col_expr} AS key")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    h = spark_md5_60("key")
+    cells = ", ".join(
+        f"named_struct('d', cast({d} as bigint), "
+        f"'col', cast(({minhash_derived('h0', d)}) % {width} as bigint))"
+        for d in range(depth)
+    )
+    return (
+        keys.selectExpr("key", "exact_count", f"cast({h} as bigint) AS h0")
+        .selectExpr("key", "exact_count", f"explode(array({cells})) AS e")
+        .select("key", "exact_count", "e.d", "e.col")
+        .join(F.broadcast(regs), ["d", "col"])
+        .groupBy("key", "exact_count")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+        .where(F.col("est_count") >= threshold)
+        .select("key", "est_count", "exact_count")
+    )

@@ -2248,6 +2248,63 @@ LEFT JOIN lc_canon e ON e.label_a = c.label_a AND e.label_b = c.label_b
 """.strip()
 
 
+def cm_heavy_hitters_sql(
+    col_expr: str = "cast(user_id as varchar)",
+    threshold: int = 75,
+    depth: int = 4,
+    width: int = 256,
+    table: str = "events",
+) -> str:
+    """Oracle for count-min heavy-hitter consumption (mirror of
+    kgx.operators.sketches.cm_heavy_hitters): registers replayed, per-key
+    cells derived with the same universal-hash chain, estimate = min over
+    depth, threshold filter, exact count beside."""
+    from kgx.functions.hashing import minhash_derived
+
+    h = _duck_md5_60(col_expr)
+    kh = _duck_md5_60("key")
+    reg_branches = "\n    UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS d, "
+        f"CAST(({minhash_derived('h0', d)}) % {width} AS BIGINT) AS col "
+        f"FROM hh_hashed"
+        for d in range(depth)
+    )
+    key_branches = "\n    UNION ALL ".join(
+        f"SELECT key, exact_count, CAST({d} AS BIGINT) AS d, "
+        f"CAST(({minhash_derived('h0', d)}) % {width} AS BIGINT) AS col "
+        f"FROM hh_keys"
+        for d in range(depth)
+    )
+    return f"""
+WITH hh_hashed AS (
+    SELECT CAST({h} AS BIGINT) AS h0 FROM {table}
+),
+hh_cells AS (
+    {reg_branches}
+),
+hh_regs AS MATERIALIZED (
+    SELECT d, col, CAST(count(*) AS BIGINT) AS cnt FROM hh_cells GROUP BY 1, 2
+),
+hh_keys AS (
+    SELECT key, exact_count, CAST({kh} AS BIGINT) AS h0
+    FROM (
+        SELECT {col_expr} AS key, CAST(count(*) AS BIGINT) AS exact_count
+        FROM {table} GROUP BY 1
+    )
+),
+hh_kcells AS (
+    {key_branches}
+),
+hh_est AS (
+    SELECT k.key, k.exact_count, CAST(min(r.cnt) AS BIGINT) AS est_count
+    FROM hh_kcells k JOIN hh_regs r ON r.d = k.d AND r.col = k.col
+    GROUP BY 1, 2
+)
+SELECT key, est_count, exact_count
+FROM hh_est WHERE est_count >= {threshold}
+""".strip()
+
+
 def graph_triangles_sql() -> str:
     """Oracle for per-node triangle participation (mirror of
     kgx.operators.graphstats.triangle_counts: canonical undirected edges,

@@ -259,3 +259,38 @@ def test_hist_quantile_bounds(spark, events):
         sketches.estimate_quantile(regs, 0)
     with pytest.raises(ValueError):
         sketches.estimate_quantile([], 0.5)
+
+
+def test_cm_heavy_hitters_superset_and_never_underestimates(spark, events):
+    hh = sketches.cm_heavy_hitters(
+        events, "cast(user_id as string)", threshold=75
+    ).collect()
+    assert hh, "fixture should contain heavy users"
+    exact = {
+        r.key: r.exact
+        for r in events.selectExpr("cast(user_id as string) AS key")
+        .groupBy("key").agg(F.count("*").alias("exact")).collect()
+    }
+    got = {r.key for r in hh}
+    for r in hh:
+        assert r.est_count >= r.exact_count == exact[r.key]
+    true_heavy = {k for k, c in exact.items() if c >= 75}
+    assert true_heavy <= got  # sketch screen never misses a true heavy hitter
+
+
+def test_negative_samples_sparse_buckets(spark):
+    # buckets >> nodes: most target buckets are empty — candidates whose
+    # hash lands in an empty bucket are dropped identically to the
+    # pure-Python reference (inner-join semantics)
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    from tests.test_graphstats import _py_negative_samples, _triples_df
+    from kgx.operators import graphstats
+
+    df = _triples_df(spark, edges)
+    got = {
+        (r.subj, r.pred, r.obj, r.sample_idx, r.neg_obj)
+        for r in graphstats.negative_samples(df, k=4, buckets=256).collect()
+    }
+    assert got == _py_negative_samples(
+        [(u, "rel", v) for u, v in edges], k=4, buckets=256
+    )
