@@ -218,6 +218,7 @@ def start_sketch_maintenance(
     member_expr: str | None = None,
     m_bits: int = 65536,
     bloom_k: int = 4,
+    hist_expr: str | None = None,
     available_now: bool = True,
 ):
     """Maintain HLL + count-min sketches over an event stream — the
@@ -238,7 +239,10 @@ def start_sketch_maintenance(
     (kgx.operators.sketches.bloom_registers; merge = element-wise
     ``bit_or``, ≤ m_bits/32 delta rows per batch) — the live
     decontamination screen: probe any candidate against
-    :func:`current_bloom` without re-scanning history.
+    :func:`current_bloom` without re-scanning history.  ``hist_expr``
+    likewise maintains the log2 DISTRIBUTION histogram (sum-merge, ≤65
+    delta rows per batch) — live drift monitoring via
+    :func:`current_hist`.
     """
     from kgx.operators import sketches
 
@@ -255,6 +259,11 @@ def start_sketch_maintenance(
                 batch_df, member_expr, m_bits, bloom_k
             ).withColumn("batch_id", F.lit(batch_id))
             outputs.append((bl, "bloom_deltas"))
+        if hist_expr is not None:
+            hg = sketches.hist_registers(batch_df, hist_expr).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            outputs.append((hg, "hist_deltas"))
         for delta, sub in outputs:
             (
                 delta.coalesce(1)
@@ -299,4 +308,14 @@ def current_bloom(spark: SparkSession, out_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(out_dir, "bloom_deltas"))
         .groupBy("word")
         .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )
+
+
+def current_hist(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The live log2 histogram: hist_deltas merged with sum — feed the
+    collected rows to kgx.operators.sketches.estimate_quantile."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "hist_deltas"))
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )

@@ -267,6 +267,7 @@ def test_streaming_sketches_equal_batch(spark, sf_dir, tmp_path):
         distinct_expr="cast(event_id as string)",
         freq_expr="cast(user_id as string)",
         member_expr="cast(user_id as string)",
+        hist_expr="user_id",
     )
     q = incremental.start_sketch_maintenance(spark, in_dir, out_dir, **kwargs)
     q.awaitTermination(120)
@@ -290,6 +291,11 @@ def test_streaming_sketches_equal_batch(spark, sf_dir, tmp_path):
         for r in sketches.bloom_registers(ev, "cast(user_id as string)").collect()
     }
     assert {tuple(r) for r in bloom.collect()} == want_bloom
+    hist = incremental.current_hist(spark, out_dir)
+    want_hist = {
+        tuple(r) for r in sketches.hist_registers(ev, "user_id").collect()
+    }
+    assert {tuple(r) for r in hist.collect()} == want_hist
 
     # restart with the same checkpoint: no pending input -> deltas unchanged
     n_rows = spark.read.parquet(os.path.join(out_dir, "cm_deltas")).count()
