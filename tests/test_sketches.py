@@ -294,3 +294,54 @@ def test_negative_samples_sparse_buckets(spark):
     assert got == _py_negative_samples(
         [(u, "rel", v) for u, v in edges], k=4, buckets=256
     )
+
+
+def test_bloom_position_arithmetic_property():
+    """Hypothesis: for random 60-bit hashes and sketch shapes, the pure-
+    Python replay of the double-hash position chain matches what BOTH
+    engines are told to compute (the expression text is shared), and
+    every position is in range with the mask off the sign bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        h0=st.integers(min_value=0, max_value=2**60 - 1),
+        exp=st.integers(min_value=5, max_value=20),
+        k=st.integers(min_value=1, max_value=8),
+    )
+    def law(h0, exp, k):
+        m_bits = 2 ** exp
+        h1 = h0 % m_bits
+        stride = 2 * ((h0 // m_bits) % m_bits) + 1
+        for j in range(k):
+            pos = (h1 + j * stride) % m_bits
+            assert 0 <= pos < m_bits
+            word, bit = pos // sketches.BLOOM_WORD, pos % sketches.BLOOM_WORD
+            assert 0 <= bit < 32  # mask 1 << bit never reaches the sign bit
+            assert stride % 2 == 1  # never a degenerate stride-0 probe
+    law()
+
+
+def test_hist_bin_matches_python_reference_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-2**40, max_value=2**40),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def law(xs):
+        want = {}
+        for x in xs:
+            b = 0 if x <= 0 else x.bit_length()
+            want[b] = want.get(b, 0) + 1
+        df = spark.createDataFrame([(x,) for x in xs], "x bigint")
+        got = {r.bin: r.cnt for r in sketches.hist_registers(df, "x").collect()}
+        assert got == want
+
+    law()
