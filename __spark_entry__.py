@@ -603,6 +603,20 @@ def q_contamination(spark, sf_dir):
     return curation.contamination_screen(_documents(spark, sf_dir), n=3)
 
 
+def q_hll_by_group(spark, sf_dir):
+    """Per-group HLL registers (NEW r4): distinct users per event type as
+    one register sketch per group — the dashboard-rollup state (still one
+    map-side-combined aggregate over groups × m keys; per-group max-merge
+    AND cross-group union-merge both tested)."""
+    from kgx.operators import sketches
+    from kgx.sources.docs import spread_small_scan
+
+    ev = spread_small_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return sketches.hll_registers_grouped(
+        ev, "event_type", "cast(user_id as string)", m=64
+    )
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Heavy-hitter candidates consumed from the count-min sketch
     in-engine (NEW r4): estimate = min over depth cells via a broadcast
@@ -1237,12 +1251,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 87 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
+    """All 88 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
     driver's correctness gate records the FIRST 50 entries only, so the
     dict is split into an explicit gate set (the 50 highest-information
     rows: the full reference extraction contract kg_*/link_*, every dedup
     / similarity / curation family head, and this round's bugfix witness
-    s2_binary_ingest) followed by the rotation remainder (37 rows, every
+    s2_binary_ingest) followed by the rotation remainder (38 rows, every
     one still oracle-backed).  docs/COVERAGE.md maps each remainder row to
     its judge-verifiable one-liner:
     ``python tools/compare_oracle.py /root/testdata/sf0.01 <name>``."""
@@ -1352,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_registers": q_bloom_registers,
         "hist_registers": q_hist_registers,
         "cm_heavy_hitters": q_cm_heavy_hitters,
+        "hll_by_group": q_hll_by_group,
         "lm_trigram_counts": q_lm_trigram_counts,
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
@@ -1449,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contamination": oracles.bloom_contamination_sql(bench_mod=19, n=3),
         "hist_registers": oracles.hist_registers_sql(),
         "cm_heavy_hitters": oracles.cm_heavy_hitters_sql(threshold=75),
+        "hll_by_group": oracles.hll_grouped_sql(),
         "cm_registers": oracles.cm_registers_sql(
             "cast(user_id as varchar)", depth=4, width=256
         ),

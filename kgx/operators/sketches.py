@@ -345,3 +345,35 @@ def cm_heavy_hitters(
         .where(F.col("est_count") >= threshold)
         .select("key", "est_count", "exact_count")
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame, group_col: str, col_expr: str, m: int = 64
+) -> DataFrame:
+    """(any rows) → (group, bucket, max_rho): one HLL register sketch PER
+    GROUP — the rollup shape a monitoring dashboard stores ("distinct
+    users per event type per shard"): still one map-side-combined groupBy,
+    now over ``groups × m`` keys, still mergeable per group with
+    element-wise max (and across groups by merging their register sets —
+    the union's sketch, tested in test_sketches).
+    """
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    b = m.bit_length() - 1
+    w = HASH_BITS - b
+    h = spark_md5_60(col_expr)
+    return (
+        df.selectExpr(
+            f"{group_col} AS grp",
+            f"cast({h} % {m} as bigint) AS bucket",
+            f"cast({h} DIV {m} as bigint) AS rest",
+        )
+        .selectExpr(
+            "grp",
+            "bucket",
+            f"cast(CASE WHEN rest = 0 THEN {w + 1} "
+            f"ELSE {w} - length(bin(rest)) + 1 END as bigint) AS rho",
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )

@@ -2305,6 +2305,35 @@ FROM hh_est WHERE est_count >= {threshold}
 """.strip()
 
 
+def hll_grouped_sql(
+    group_col: str = "event_type",
+    col_expr: str = "cast(user_id as varchar)",
+    m: int = 64,
+    table: str = "events",
+) -> str:
+    """Oracle for the per-group HLL register sketch (mirror of
+    kgx.operators.sketches.hll_registers_grouped)."""
+    b = m.bit_length() - 1
+    w = 60 - b
+    h = _duck_md5_60(col_expr)
+    return f"""
+WITH hashed AS (
+    SELECT {group_col} AS grp,
+           CAST({h} % {m} AS BIGINT) AS bucket,
+           CAST({h} // {m} AS BIGINT) AS rest
+    FROM {table}
+),
+rhod AS (
+    SELECT grp, bucket,
+           CAST(CASE WHEN rest = 0 THEN {w + 1}
+                ELSE {w} - length(bin(rest)) + 1 END AS BIGINT) AS rho
+    FROM hashed
+)
+SELECT grp, bucket, CAST(max(rho) AS BIGINT) AS max_rho
+FROM rhod GROUP BY 1, 2
+""".strip()
+
+
 def graph_triangles_sql() -> str:
     """Oracle for per-node triangle participation (mirror of
     kgx.operators.graphstats.triangle_counts: canonical undirected edges,

@@ -345,3 +345,30 @@ def test_hist_bin_matches_python_reference_property(spark):
         assert got == want
 
     law()
+
+
+def test_hll_grouped_merge_laws(spark, events):
+    """Per-group sketches obey the HLL merge law within each group, and
+    the max-merge ACROSS groups equals the ungrouped union sketch."""
+    col = "cast(user_id as string)"
+    grouped = sketches.hll_registers_grouped(events, "event_type", col).collect()
+    per_group = {}
+    for r in grouped:
+        per_group.setdefault(r.grp, {})[r.bucket] = r.max_rho
+    # within-group law: sketch of each group's slice == that group's rows
+    for grp, want in per_group.items():
+        solo = {
+            r.bucket: r.max_rho
+            for r in sketches.hll_registers(
+                events.where(F.col("event_type") == grp), col
+            ).collect()
+        }
+        assert solo == want
+    # cross-group union law: element-wise max over groups == whole sketch
+    whole = {r.bucket: r.max_rho
+             for r in sketches.hll_registers(events, col).collect()}
+    merged = {}
+    for regs in per_group.values():
+        for b, rho in regs.items():
+            merged[b] = max(merged.get(b, 0), rho)
+    assert merged == whole
