@@ -158,6 +158,22 @@ def test_run_graph_stats_job_over_pipeline_output(spark, sf_dir, tmp_path):
     assert materialized == direct
     degrees = spark.read.parquet(stats_out + "/degrees")
     assert degrees.count() == len(direct)
+    # round-4 outputs: communities / fixpoint k-core / negative samples
+    comm = {r.label: r.community
+            for r in spark.read.parquet(stats_out + "/communities").collect()}
+    assert comm == {
+        r.label: r.community
+        for r in graphstats.label_propagation(triples).collect()
+    }
+    core = spark.read.parquet(stats_out + "/kcore")
+    want_core, _ = graphstats.kcore_fixpoint(triples, k=2)
+    assert sorted(map(tuple, core.collect())) == sorted(
+        map(tuple, want_core.collect())
+    )
+    negs = spark.read.parquet(stats_out + "/negatives")
+    assert sorted(map(tuple, negs.collect())) == sorted(
+        map(tuple, graphstats.negative_samples(triples, k=2).collect())
+    )
 
 
 def test_pagerank_mass_bounds_and_dup_invariance(spark):
