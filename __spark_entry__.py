@@ -522,6 +522,18 @@ def q_kg_negative_samples(spark, sf_dir):
     )
 
 
+def q_kg_training_pairs(spark, sf_dir):
+    """The composed KG-embedding training set (NEW r4): distinct triples
+    as positives UNION their k=2 hash-corrupted negatives — what a
+    TransE-family trainer consumes, produced in one lazy plan over the
+    persisted extraction."""
+    from kgx.operators import extract, graphstats
+
+    return graphstats.training_pairs(
+        extract.triples_table(_graphs(spark, sf_dir)), k=2, buckets=64
+    )
+
+
 def q_graph_kcore(spark, sf_dir):
     """Synchronous k-core peel over the extracted KG (NEW r4): bounded
     peel rounds drop nodes whose residual degree falls below k — the
@@ -1251,12 +1263,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 88 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
+    """All 89 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
     driver's correctness gate records the FIRST 50 entries only, so the
     dict is split into an explicit gate set (the 50 highest-information
     rows: the full reference extraction contract kg_*/link_*, every dedup
     / similarity / curation family head, and this round's bugfix witness
-    s2_binary_ingest) followed by the rotation remainder (38 rows, every
+    s2_binary_ingest) followed by the rotation remainder (39 rows, every
     one still oracle-backed).  docs/COVERAGE.md maps each remainder row to
     its judge-verifiable one-liner:
     ``python tools/compare_oracle.py /root/testdata/sf0.01 <name>``."""
@@ -1353,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_rollup_order_stats": q_a9_rollup_order_stats,
         "kg_version_diff": q_kg_version_diff,
         "graph_link_candidates": q_graph_link_candidates,
+        "kg_training_pairs": q_kg_training_pairs,
         "kg_negative_samples": q_kg_negative_samples,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
@@ -1410,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": oracles.graph_kcore_sql(),
         "kg_version_diff": oracles.kg_version_diff_sql(),
         "graph_link_candidates": oracles.graph_link_candidates_sql(),
+        "kg_training_pairs": oracles.kg_training_pairs_sql(),
         "kg_negative_samples": oracles.kg_negative_samples_sql(),
         "graph_entity_pmi": oracles.entity_pmi_sql(),
         "balanced_sample": oracles.balanced_sample_sql(),

@@ -519,3 +519,31 @@ def common_neighbor_candidates(
             F.coalesce("edge_flag", F.lit(0)).cast("long").alias("is_edge"),
         )
     )
+
+
+def training_pairs(
+    triples: DataFrame, k: int = 2, buckets: int = 64
+) -> DataFrame:
+    """The KG-embedding training set, composed end-to-end: every distinct
+    (subj, pred, obj) triple as a positive example plus its ``k``
+    hash-corrupted negatives (:func:`negative_samples`) — the
+    (margin-loss) contrastive table a TransE-family trainer consumes,
+    produced in one lazy plan.  Output: (subj, pred, obj, is_positive)
+    with is_positive ∈ {1, 0}.
+
+    Scale shape: a union of two already-bounded plans — the distinct
+    triple projection and the bucketed sample join; no new shuffles
+    beyond their own.
+    """
+    pos = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .withColumn("is_positive", F.lit(1).cast("long"))
+    )
+    neg = negative_samples(triples, k=k, buckets=buckets).select(
+        "subj",
+        "pred",
+        F.col("neg_obj").alias("obj"),
+        F.lit(0).cast("long").alias("is_positive"),
+    )
+    return pos.unionByName(neg)

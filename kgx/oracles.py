@@ -2334,6 +2334,29 @@ FROM rhod GROUP BY 1, 2
 """.strip()
 
 
+def kg_training_pairs_sql(k: int = 2, buckets: int = 64) -> str:
+    """Oracle for the composed KG-embedding training set (mirror of
+    kgx.operators.graphstats.training_pairs): distinct positives UNION
+    ALL the replayed negative samples with is_positive labels.  Reuses
+    the negatives oracle verbatim as a CTE body."""
+    neg = kg_negative_samples_sql(k=k, buckets=buckets)
+    body = neg[len("WITH "):]
+    head, tail = body.rsplit("SELECT p.subj, p.pred, p.obj", 1)
+    rest = tail[tail.index("WHERE n.label <> p.obj") + len("WHERE n.label <> p.obj"):]
+    assert rest.strip() == "", rest
+    return f"""
+WITH {head.rstrip().rstrip(",")},
+tp_neg AS (
+    SELECT p.subj, p.pred, n.label AS obj
+    FROM ns_pick p JOIN ns_num n USING (bucket, idx)
+    WHERE n.label <> p.obj
+)
+SELECT subj, pred, obj, CAST(1 AS BIGINT) AS is_positive FROM ns_tri
+UNION ALL
+SELECT subj, pred, obj, CAST(0 AS BIGINT) AS is_positive FROM tp_neg
+""".strip()
+
+
 def graph_triangles_sql() -> str:
     """Oracle for per-node triangle participation (mirror of
     kgx.operators.graphstats.triangle_counts: canonical undirected edges,

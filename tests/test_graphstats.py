@@ -536,3 +536,20 @@ def test_link_candidates_hub_cap_drops_hub_wedges(spark):
     ).collect()
     assert len(full) == 28  # all C(8,2) leaf pairs, one common neighbor each
     assert all(r.common_neighbors == 1 and r.is_edge == 0 for r in full)
+
+
+def test_training_pairs_composition(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = _triples_df(spark, edges)
+    rows = graphstats.training_pairs(df, k=2, buckets=8).collect()
+    pos = {(r.subj, r.pred, r.obj) for r in rows if r.is_positive == 1}
+    neg = {(r.subj, r.pred, r.obj) for r in rows if r.is_positive == 0}
+    assert pos == {(u, "rel", v) for u, v in edges}
+    want_neg = {
+        (s, p, n)
+        for (s, p, o, j, n) in _py_negative_samples(
+            [(u, "rel", v) for u, v in edges], k=2, buckets=8
+        )
+    }
+    assert neg == want_neg
+    assert pos.isdisjoint(neg)  # corrupted objects never equal the true one
