@@ -1341,7 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_bucket_metrics": q_a7_bucket_metrics,
         "fn_scalar_suite": q_fn_scalar_suite,
         "p6_p8_text_gate": q_p6_p8_text_gate,
-        # ---- rotation remainder (23 — outside the driver's 50-row cap;
+        # ---- rotation remainder (39 — outside the driver's 50-row cap;
         # each is oracle-backed and judge-verifiable via
         # `python tools/compare_oracle.py /root/testdata/sf0.01 <name>`;
         # full mapping + rationale in docs/COVERAGE.md) ----

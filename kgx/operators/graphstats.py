@@ -531,19 +531,31 @@ def training_pairs(
     produced in one lazy plan.  Output: (subj, pred, obj, is_positive)
     with is_positive ∈ {1, 0}.
 
+    Negatives are filtered against the FULL positive set (the "filtered"
+    setting of the KG-embedding literature): :func:`negative_samples`
+    only guarantees ``neg_obj != obj`` for the SAME triple, so a corrupted
+    (s, p, neg_obj) can coincide with a DIFFERENT true triple — without
+    the anti-join the training set could carry the same (subj, pred, obj)
+    labeled both 1 and 0, a contradictory gradient.
+
     Scale shape: a union of two already-bounded plans — the distinct
-    triple projection and the bucketed sample join; no new shuffles
-    beyond their own.
+    triple projection and the bucketed sample join — plus one
+    hash-partitioned left-anti join on the (subj, pred, obj) key for the
+    filtered setting; nothing wider than the triple key shuffles.
     """
     pos = (
         triples.select("subj", "pred", "obj")
         .distinct()
         .withColumn("is_positive", F.lit(1).cast("long"))
     )
-    neg = negative_samples(triples, k=k, buckets=buckets).select(
-        "subj",
-        "pred",
-        F.col("neg_obj").alias("obj"),
-        F.lit(0).cast("long").alias("is_positive"),
+    neg = (
+        negative_samples(triples, k=k, buckets=buckets)
+        .select(
+            "subj",
+            "pred",
+            F.col("neg_obj").alias("obj"),
+            F.lit(0).cast("long").alias("is_positive"),
+        )
+        .join(pos.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "left_anti")
     )
     return pos.unionByName(neg)

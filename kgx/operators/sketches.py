@@ -153,6 +153,21 @@ def _bloom_pos_exprs(m_bits: int, k: int) -> list[str]:
     return [f"(h1 + {j} * stride) % {m_bits}" for j in range(k)]
 
 
+def _bloom_h0_guard(expr: str) -> str:
+    """Fail LOUDLY on out-of-contract hash inputs: every downstream bloom
+    expression assumes a non-negative md5-60 value — a negative h0 would
+    flow through Spark's sign-preserving ``%`` into a negative shiftleft
+    count, whose NULL mask silently DROPS the row from the bitmap (a
+    false-negative-capable filter) instead of erroring.  ``raise_error``
+    turns that silent corruption into a job failure at scan time."""
+    return (
+        f"CASE WHEN ({expr}) >= 0 THEN ({expr}) ELSE "
+        f"cast(raise_error(concat('bloom: negative hash value ', "
+        f"cast(({expr}) as string), ' — expected non-negative md5-60')) as bigint) "
+        f"END"
+    )
+
+
 def bloom_registers(
     df: DataFrame,
     col_expr: str,
@@ -178,7 +193,7 @@ def bloom_registers(
         raise ValueError(f"m_bits must be a positive multiple of {BLOOM_WORD}")
     if k < 1:
         raise ValueError("k must be >= 1")
-    h = col_expr if pre_hashed else spark_md5_60(col_expr)
+    h = _bloom_h0_guard(col_expr) if pre_hashed else spark_md5_60(col_expr)
     poss = ", ".join(_bloom_pos_exprs(m_bits, k))
     return (
         df.selectExpr(f"cast({h} as bigint) AS h0")
@@ -216,7 +231,7 @@ def bloom_probe(
     """
     poss = ", ".join(_bloom_pos_exprs(m_bits, k))
     probes = (
-        keyed.selectExpr(id_col, f"{hash_col} AS h0")
+        keyed.selectExpr(id_col, f"{_bloom_h0_guard(hash_col)} AS h0")
         .selectExpr(
             id_col,
             "h0",

@@ -2337,8 +2337,10 @@ FROM rhod GROUP BY 1, 2
 def kg_training_pairs_sql(k: int = 2, buckets: int = 64) -> str:
     """Oracle for the composed KG-embedding training set (mirror of
     kgx.operators.graphstats.training_pairs): distinct positives UNION
-    ALL the replayed negative samples with is_positive labels.  Reuses
-    the negatives oracle verbatim as a CTE body."""
+    ALL the replayed negative samples with is_positive labels, negatives
+    anti-joined against the FULL positive set (the "filtered" setting —
+    mirrors the Spark left_anti on (subj, pred, obj)).  Reuses the
+    negatives oracle verbatim as a CTE body."""
     neg = kg_negative_samples_sql(k=k, buckets=buckets)
     body = neg[len("WITH "):]
     head, tail = body.rsplit("SELECT p.subj, p.pred, p.obj", 1)
@@ -2350,6 +2352,10 @@ tp_neg AS (
     SELECT p.subj, p.pred, n.label AS obj
     FROM ns_pick p JOIN ns_num n USING (bucket, idx)
     WHERE n.label <> p.obj
+      AND NOT EXISTS (
+        SELECT 1 FROM ns_tri t
+        WHERE t.subj = p.subj AND t.pred = p.pred AND t.obj = n.label
+      )
 )
 SELECT subj, pred, obj, CAST(1 AS BIGINT) AS is_positive FROM ns_tri
 UNION ALL

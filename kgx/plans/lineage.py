@@ -33,6 +33,20 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Schemes where a single-object write is already atomically visible and
+#: rename is emulated (copy+delete) — direct PUT is the right protocol.
+#: Everything else (hdfs://, viewfs://, ...) gets dot-temp + atomic rename.
+_FLAT_OBJECT_STORES = frozenset({"s3", "s3a", "s3n", "gs", "gcs"})
+
+
+def _fs_from_uri(uri: str):
+    """pyarrow (fs, path) for a remote URI — a seam so tests can mount a
+    local FS under a fake hdfs:// / s3:// scheme (pyarrow's C types are
+    immutable, so the protocol can't be spied via monkeypatching them)."""
+    import pyarrow.fs as pafs
+
+    return pafs.FileSystem.from_uri(uri)
+
 LINEAGE_SCHEMA = (
     "run_id string, bucket int, status string, docs long, nodes long, "
     "edges long, triples long, started_at timestamp, finished_at timestamp"
@@ -81,10 +95,15 @@ def append_lineage(
     append).
 
     ``out_dir`` may be any pyarrow-supported filesystem URI (s3://,
-    hdfs://, gcs://, file://, or a bare local path): local paths keep the
-    dot-temp + rename protocol; object stores get a single direct PUT,
-    which is already atomically visible (S3/GCS have no rename, and a
-    half-written object never becomes readable)."""
+    hdfs://, gcs://, file://, or a bare local path).  The write protocol
+    is scheme-dependent because atomic visibility is: on TRUE flat object
+    stores (s3://, gs://) a single PUT is already atomic — a half-written
+    object never becomes readable — and there is no native rename to use.
+    On rename-capable filesystems (hdfs://, viewfs://, and anything else
+    pyarrow mounts) an in-progress file IS visible with growing length,
+    so a direct write races concurrent ``read_lineage`` calls with a torn
+    parquet footer; those keep the dot-temp + atomic-rename protocol
+    (``pyarrow.fs.move``; HDFS rename is atomic), same as local paths."""
     import uuid
 
     import pyarrow as pa
@@ -116,13 +135,19 @@ def append_lineage(
         tmp = os.path.join(path, f".{fname}.tmp")
         pq.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(path, fname))
-    else:  # object store / HDFS: single-object write, atomic visibility
-        import pyarrow.fs as pafs
-
-        fs, base = pafs.FileSystem.from_uri(out_dir)
+    else:
+        fs, base = _fs_from_uri(out_dir)
         path = f"{base.rstrip('/')}/lineage"
         try:
             fs.create_dir(path, recursive=True)
         except NotImplementedError:  # flat object stores have no dirs
             pass
-        pq.write_table(tbl, f"{path}/{fname}", filesystem=fs)
+        if scheme in _FLAT_OBJECT_STORES:
+            # S3/GCS: single PUT, atomically visible; no native rename.
+            pq.write_table(tbl, f"{path}/{fname}", filesystem=fs)
+        else:
+            # HDFS & friends: files are readable while being written, so
+            # stage under a dot-name and atomically rename into place.
+            tmp = f"{path}/.{fname}.tmp"
+            pq.write_table(tbl, tmp, filesystem=fs)
+            fs.move(tmp, f"{path}/{fname}")

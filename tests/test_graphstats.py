@@ -550,6 +550,28 @@ def test_training_pairs_composition(spark):
         for (s, p, o, j, n) in _py_negative_samples(
             [(u, "rel", v) for u, v in edges], k=2, buckets=8
         )
-    }
+    } - pos  # filtered setting: negatives colliding with ANY positive drop
     assert neg == want_neg
-    assert pos.isdisjoint(neg)  # corrupted objects never equal the true one
+    assert pos.isdisjoint(neg)  # now a LAW (left_anti), not a lucky md5 draw
+
+
+def test_training_pairs_filters_cross_triple_collisions(spark):
+    """negative_samples only guarantees neg_obj != the SAME triple's obj;
+    on a complete digraph EVERY corruption to a non-self node coincides
+    with a different true positive.  training_pairs must anti-join those
+    away (the KG-embedding 'filtered' setting), or the set would carry the
+    same (subj, pred, obj) labeled both 1 and 0."""
+    nodes = [f"n{i}" for i in range(6)]
+    edges = [(u, v) for u in nodes for v in nodes if u != v]
+    tri = [(u, "rel", v) for u, v in edges]
+    raw = {(s, p, n) for (s, p, o, j, n) in _py_negative_samples(tri, k=3, buckets=8)}
+    pos_set = set(tri)
+    assert raw & pos_set  # the fixture really plants cross-triple collisions
+    rows = graphstats.training_pairs(
+        _triples_df(spark, edges), k=3, buckets=8
+    ).collect()
+    neg = {(r.subj, r.pred, r.obj) for r in rows if r.is_positive == 0}
+    assert neg == raw - pos_set
+    # on this graph the only survivable corruptions are self-loops
+    assert all(s == o for (s, p, o) in neg)
+    assert pos_set.isdisjoint(neg)

@@ -1,6 +1,7 @@
 """Checkpoint/resume: a restarted pipeline recomputes zero completed buckets
 and converges to the same output as a clean run (north rule)."""
 
+import os
 import shutil
 import tempfile
 
@@ -245,5 +246,55 @@ def test_append_lineage_accepts_file_uri(spark):
         # bare-path append lands in the same lineage table
         lin.append_lineage(spark, d, "run-bare", rows, started)
         assert lin.read_lineage(spark, d).count() == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_lineage_hdfs_uses_temp_then_rename(spark, monkeypatch):
+    """On rename-capable filesystems (hdfs://) an in-progress file is
+    readable with growing length, so the remote branch must stage under a
+    dot-temp and atomically rename — a direct write would let a concurrent
+    read_lineage observe a torn parquet footer.  Mount a local FS under a
+    fake hdfs:// URI and assert the rename protocol ran (temp gone, final
+    present) while flat object stores (s3://) keep the direct single PUT."""
+    import datetime as dt
+
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="kgx_lin_hdfs_")
+    try:
+        remote_writes = []
+        real_write = pq.write_table
+
+        def spy_write(tbl, where, *a, **kw):
+            if kw.get("filesystem") is not None:
+                remote_writes.append(where)
+            return real_write(tbl, where, *a, **kw)
+
+        monkeypatch.setattr(pq, "write_table", spy_write)
+        monkeypatch.setattr(
+            lin,
+            "_fs_from_uri",
+            lambda uri: (pafs.LocalFileSystem(), uri.split("://", 1)[1]),
+        )
+        started = dt.datetime.now(dt.timezone.utc)
+        rows = [{"bucket": 0, "docs": 3, "nodes": 5, "edges": 2, "triples": 2}]
+        lin.append_lineage(spark, f"hdfs://{d}", "run-hdfs", rows, started)
+        assert len(remote_writes) == 1
+        # write landed on a dot-temp, then the atomic rename swapped it in:
+        # temp gone, exactly one visible (non-dot) parquet file present
+        assert "/.part-" in remote_writes[0] and remote_writes[0].endswith(".tmp")
+        assert not os.path.exists(remote_writes[0])
+        visible = [f for f in os.listdir(lin.lineage_path(d)) if not f.startswith(".")]
+        assert len(visible) == 1 and visible[0].endswith(".parquet")
+        got = lin.read_lineage(spark, d).collect()
+        assert [(r["bucket"], r["status"]) for r in got] == [(0, "done")]
+        # flat object store: direct single PUT under the final name
+        lin.append_lineage(spark, f"s3://{d}", "run-s3", rows, started)
+        assert len(remote_writes) == 2
+        assert remote_writes[1].endswith(".parquet") and "/.part-" not in remote_writes[1]
+        assert lin.read_lineage(spark, d).count() == 2
+        assert not [f for f in os.listdir(lin.lineage_path(d)) if f.endswith(".tmp")]
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -196,6 +196,33 @@ def test_bloom_rejects_bad_shape(spark, events):
         sketches.bloom_registers(events, "event_id", k=0)
 
 
+def test_bloom_negative_prehashed_fails_loudly(spark):
+    """pre_hashed=True trusts the caller's hash column; a NEGATIVE value
+    would flow into a negative shiftleft count whose NULL mask silently
+    drops the row from the bitmap — a false-negative-capable filter.  The
+    contract guard must turn that into a loud job failure, in both the
+    build and the probe paths, while all-non-negative inputs are untouched."""
+    from pyspark.errors import PySparkException
+
+    bad = spark.range(0, 10).selectExpr(
+        "id AS doc_id", "CASE WHEN id = 7 THEN -42 ELSE id END AS shingle_hash"
+    )
+    with pytest.raises(PySparkException, match="negative hash"):
+        sketches.bloom_registers(
+            bad, "shingle_hash", m_bits=65536, k=4, pre_hashed=True
+        ).collect()
+    good = spark.range(0, 10).selectExpr("id AS doc_id", "id AS shingle_hash")
+    regs = sketches.bloom_registers(
+        good, "shingle_hash", m_bits=65536, k=4, pre_hashed=True
+    )
+    with pytest.raises(PySparkException, match="negative hash"):
+        sketches.bloom_probe(bad, regs, m_bits=65536, k=4).collect()
+    # guard is identity on in-contract input: probe of the build set flags all
+    ok = {r.doc_id: (r.n_keys, r.n_flagged)
+          for r in sketches.bloom_probe(good, regs, m_bits=65536, k=4).collect()}
+    assert all(nk == nf == 1 for nk, nf in ok.values()) and len(ok) == 10
+
+
 def test_bloom_screen_is_superset_of_exact_screen(spark, sf_dir):
     """Cross-operator law: the Bloom probe can only ADD flags on top of
     the exact broadcast-join screen (no false negatives ⇒ per doc
