@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgx.functions import hashing
+from kgx.functions import plan as plan_fn
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +317,7 @@ def minhash_lsh_pairs(
     # shingle table built above — not a fresh pipeline.
     sa = sets_all.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("ha"))
     sb = sets_all.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("hb"))
-    return (
+    stats = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -326,6 +327,15 @@ def minhash_lsh_pairs(
             F.expr("size(ha)").cast("long").alias("na"),
             F.expr("size(hb)").cast("long").alias("nb"),
         )
+    )
+    # project_barrier pins `inter`: without it CollapseProject inlines the
+    # array_intersect into the jaccard filter (which Catalyst then fuses
+    # into the join CONDITION), evaluating the O(na+nb) set-build up to 4×
+    # per candidate row — measured 3.5-6.4 s → 2.3-2.8 s at sf0.1, where
+    # boilerplate band collisions make |candidates| ≈ 116k (round-5 plan
+    # audit; same trap class as the winnowed-fingerprint HOF fix).
+    return (
+        plan_fn.project_barrier(stats)
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
