@@ -176,11 +176,17 @@ def main() -> None:
         "in the extraction family. Regenerate with `python tools/plan_audit.py`.\n\n"
         + "\n".join(parts)
     )
-    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"), exist_ok=True)
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md"),
-        "w",
-    ) as f:
+    docs_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
+    )
+    os.makedirs(docs_dir, exist_ok=True)
+    # hand-written plan narratives (sections without an explain excerpt)
+    # live in PLANS_epilogue.md so a regenerate never clobbers them
+    epilogue = os.path.join(docs_dir, "PLANS_epilogue.md")
+    if os.path.exists(epilogue):
+        with open(epilogue) as f:
+            doc = doc.rstrip() + "\n\n" + f.read()
+    with open(os.path.join(docs_dir, "PLANS.md"), "w") as f:
         f.write(doc)
     print("docs/PLANS.md written")
     spark.stop()
