@@ -136,17 +136,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via inverted index.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     before the self-join (the skew guard for web-scale corpora).
-    """
+
+    ``materialize`` (default on — same stance and rationale as
+    :func:`minhash_lsh_pairs`): the shingle table feeds up to FOUR plan
+    branches (the hot-shingle aggregate, the per-doc sizes, and both
+    self-join sides), and each branch of a lazy plan re-runs the
+    tokenize + shingle + md5-per-shingle pass.  Eager ``localCheckpoint``s
+    — the base table (covers the hot aggregate + anti-join input) and the
+    filtered table (covers sizes + both join sides) — pin it to one pass;
+    both are (doc_id, bigint) rows, far smaller than the text.  Measured
+    at sf0.1 (alternating 3-round A/B, warmed): 2.47-4.04 s vs 2.92-4.14 s
+    — uniformly ordered in the checkpoint's favor, and the gap grows with
+    document length (each extra branch re-runs the full text pass)."""
     sh = shingle_table(documents, n)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle_hash").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(hot.select("shingle_hash"), "shingle_hash", "left_anti")
+        if materialize:
+            sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
