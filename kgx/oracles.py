@@ -673,6 +673,59 @@ FROM t2
 """.strip()
 
 
+def repetition_sql(top_n: int = 2, dup_n: int = 3) -> str:
+    """Oracle for the Gopher repetition signals (mirror of
+    kgx.operators.textstats.repetition_stats): NON-distinct word n-gram
+    occurrence counts, top-gram tie broken by (count DESC, hash ASC),
+    exact-int IEEE division for the fractions."""
+    toks = "list_filter(str_split(text, ' '), t -> t <> '')"
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len({toks}) >= {n} THEN "
+            f"list_transform(range(1, len({toks}) - {n} + 2), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
+            f"ELSE []::VARCHAR[] END"
+        )
+
+    return f"""
+WITH tg AS (
+    SELECT doc_id, {_duck_md5_60('gram')} AS h,
+           CAST(length(gram) AS BIGINT) AS glen, count(*) AS cnt
+    FROM (SELECT doc_id, unnest({grams(top_n)}) AS gram FROM documents)
+    GROUP BY 1, 2, 3
+),
+top_pick AS (
+    SELECT doc_id, glen, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, h ASC) AS rn,
+           sum(cnt) OVER (PARTITION BY doc_id) AS n_top_grams
+    FROM tg
+),
+top AS (
+    SELECT doc_id, CAST(n_top_grams AS BIGINT) AS n_top_grams,
+           CAST(cnt AS BIGINT) AS top_gram_count,
+           CAST(glen AS BIGINT) AS top_gram_chars
+    FROM top_pick WHERE rn = 1
+),
+dg AS (
+    SELECT doc_id, {_duck_md5_60('gram')} AS h, count(*) AS cnt
+    FROM (SELECT doc_id, unnest({grams(dup_n)}) AS gram FROM documents)
+    GROUP BY 1, 2
+),
+dup AS (
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_grams,
+           CAST(sum(cnt - 1) AS BIGINT) AS dup_gram_instances
+    FROM dg GROUP BY 1
+),
+chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS char_count FROM documents)
+SELECT doc_id, char_count, n_top_grams, top_gram_count, top_gram_chars,
+       top_gram_count * top_gram_chars / char_count AS top_gram_frac,
+       n_dup_grams, dup_gram_instances,
+       dup_gram_instances / n_dup_grams AS dup_gram_frac
+FROM top JOIN dup USING (doc_id) JOIN chars USING (doc_id)
+""".strip()
+
+
 def token_counts_sql() -> str:
     from kgx.operators.textstats import BPE_TOKEN_PATTERN
 

@@ -144,6 +144,48 @@ def test_text_stats_empty_and_tiny_docs(spark):
     assert rows[0]["token_count"] == 1
 
 
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals on a hand-checkable fixture."""
+    from kgx.operators import textstats
+
+    # doc 0: "a b a b a b" -> 2-grams: (a b)x3, (b a)x2 -> top cnt 3, len 3;
+    #        3-grams: (a b a)x2, (b a b)x2 -> 4 instances, 2 dups
+    # doc 1: all-distinct tokens -> top cnt 1, zero dup 3-grams
+    # doc 2: 2 tokens -> no 3-grams -> dropped (inner join semantics)
+    df = _docs(spark, ["a b a b a b", "q w e r t y", "x y"])
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert r0["n_top_grams"] == 5 and r0["top_gram_count"] == 3
+    assert r0["top_gram_chars"] == 3  # "a b"
+    assert r0["top_gram_frac"] == 3 * 3 / 11  # 3 occurrences x 3 chars / 11
+    assert r0["n_dup_grams"] == 4 and r0["dup_gram_instances"] == 2
+    assert r0["dup_gram_frac"] == 0.5
+    r1 = rows[1]
+    assert r1["top_gram_count"] == 1 and r1["dup_gram_instances"] == 0
+    assert r1["dup_gram_frac"] == 0.0
+
+
+def test_repetition_stats_tie_breaks_by_min_hash(spark):
+    """Equal-count top grams must resolve deterministically (min md5-60) —
+    the cross-engine contract the oracle's (cnt DESC, h ASC) mirrors."""
+    import hashlib
+
+    from kgx.operators import textstats
+
+    # "aa b c aa b c" 2-grams: "aa b" x2 / "b c" x2 tie (4 vs 3 chars, so
+    # the winner is observable through top_gram_chars)
+    df = _docs(spark, ["aa b c aa b c"])
+    r = textstats.repetition_stats(df).collect()[0]
+    assert r["top_gram_count"] == 2
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = min(("aa b", "b c"), key=h60)
+    assert r["top_gram_chars"] == len(want)
+
+
 def test_quality_filter_rules(spark):
     from kgx.operators import textstats
 
