@@ -522,14 +522,13 @@ def common_neighbor_candidates(
 
 
 def training_pairs(
-    triples: DataFrame, k: int = 2, buckets: int = 64
+    triples: DataFrame, k: int = 2, buckets: int = 64, materialize: bool = True
 ) -> DataFrame:
     """The KG-embedding training set, composed end-to-end: every distinct
     (subj, pred, obj) triple as a positive example plus its ``k``
     hash-corrupted negatives (:func:`negative_samples`) — the
-    (margin-loss) contrastive table a TransE-family trainer consumes,
-    produced in one lazy plan.  Output: (subj, pred, obj, is_positive)
-    with is_positive ∈ {1, 0}.
+    (margin-loss) contrastive table a TransE-family trainer consumes.
+    Output: (subj, pred, obj, is_positive) with is_positive ∈ {1, 0}.
 
     Negatives are filtered against the FULL positive set (the "filtered"
     setting of the KG-embedding literature): :func:`negative_samples`
@@ -542,20 +541,27 @@ def training_pairs(
     triple projection and the bucketed sample join — plus one
     hash-partitioned left-anti join on the (subj, pred, obj) key for the
     filtered setting; nothing wider than the triple key shuffles.
-    """
-    pos = (
-        triples.select("subj", "pred", "obj")
-        .distinct()
-        .withColumn("is_positive", F.lit(1).cast("long"))
-    )
+
+    ``materialize`` (default on): the distinct-triple set feeds THREE plan
+    branches (the positive union arm, the anti-join build side, and
+    negative_samples' own input), and an unpersisted input would
+    re-evaluate the upstream plan per branch (exchange reuse does not
+    apply — each consumer exchanges differently).  One eager
+    ``localCheckpoint`` of the already-bounded distinct projection pins it
+    to a single evaluation — the same stance as kcore's per-round state
+    and minhash_lsh_pairs' shingle table."""
+    tri = triples.select("subj", "pred", "obj").distinct()
+    if materialize:
+        tri = tri.localCheckpoint(eager=True)
+    pos = tri.withColumn("is_positive", F.lit(1).cast("long"))
     neg = (
-        negative_samples(triples, k=k, buckets=buckets)
+        negative_samples(tri, k=k, buckets=buckets)
         .select(
             "subj",
             "pred",
             F.col("neg_obj").alias("obj"),
             F.lit(0).cast("long").alias("is_positive"),
         )
-        .join(pos.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "left_anti")
+        .join(tri, ["subj", "pred", "obj"], "left_anti")
     )
     return pos.unionByName(neg)

@@ -158,12 +158,15 @@ def _bloom_h0_guard(expr: str) -> str:
     expression assumes a non-negative md5-60 value — a negative h0 would
     flow through Spark's sign-preserving ``%`` into a negative shiftleft
     count, whose NULL mask silently DROPS the row from the bitmap (a
-    false-negative-capable filter) instead of erroring.  ``raise_error``
-    turns that silent corruption into a job failure at scan time."""
+    false-negative-capable filter) instead of erroring; a NULL h0 would
+    NULL-propagate into the same silent drop.  ``raise_error`` turns both
+    into a job failure at scan time (the message coalesces NULL so the
+    diagnostic never degrades to an empty error)."""
     return (
         f"CASE WHEN ({expr}) >= 0 THEN ({expr}) ELSE "
-        f"cast(raise_error(concat('bloom: negative hash value ', "
-        f"cast(({expr}) as string), ' — expected non-negative md5-60')) as bigint) "
+        f"cast(raise_error(concat('bloom: negative or NULL hash value ', "
+        f"coalesce(cast(({expr}) as string), 'NULL'), "
+        f"' — expected non-negative md5-60')) as bigint) "
         f"END"
     )
 

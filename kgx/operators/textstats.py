@@ -97,20 +97,28 @@ def token_counts(documents: DataFrame) -> DataFrame:
 def _gram_counts(documents: DataFrame, n: int) -> DataFrame:
     """(doc_id, h, glen, cnt) — NON-distinct word n-gram occurrence counts
     per document (repetition needs multiplicities, unlike the dedup
-    family's distinct shingle sets).  Text collapses to 60-bit hashes at
-    the explode, so the one shuffle (the (doc_id, h) count) carries pure
+    family's distinct shingle sets).  The tokenization is hoisted behind a
+    project_barrier so the gram lambda slices a BOUND array attribute —
+    inlining TOKENS_EXPR into the transform would re-split the whole text
+    once per gram position, O(tokens × doc_length) (the same HOF trap
+    dedup._tokenized exists for).  Text collapses to 60-bit hashes at the
+    explode, so the one shuffle (the (doc_id, h) count) carries pure
     bigints; docs shorter than ``n`` tokens emit nothing (the CASE guard —
     Spark's ``sequence(1, 0)`` would DESCEND, not return empty)."""
     from kgx.functions import hashing
+    from kgx.functions.plan import project_barrier
 
+    toked = project_barrier(
+        documents.selectExpr("doc_id", f"{TOKENS_EXPR} AS toks")
+    )
     grams = (
-        f"CASE WHEN size({TOKENS_EXPR}) >= {n} THEN "
-        f"transform(sequence(1, size({TOKENS_EXPR}) - {n} + 1), "
-        f"i -> concat_ws(' ', slice({TOKENS_EXPR}, i, {n}))) "
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) "
         f"ELSE array() END"
     )
     return (
-        documents.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+        toked.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
         .select(
             "doc_id",
             F.expr(hashing.spark_md5_60("gram")).alias("h"),

@@ -33,10 +33,15 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Schemes where a single-object write is already atomically visible and
-#: rename is emulated (copy+delete) — direct PUT is the right protocol.
-#: Everything else (hdfs://, viewfs://, ...) gets dot-temp + atomic rename.
-_FLAT_OBJECT_STORES = frozenset({"s3", "s3a", "s3n", "gs", "gcs"})
+#: Schemes that NEED (and support) the dot-temp + atomic-rename protocol:
+#: HDFS-family filesystems expose in-progress files with growing length, so
+#: a direct write races concurrent readers.  Everything else defaults to the
+#: direct single-object PUT — on flat object stores (s3://, gs://, abfs on
+#: non-hierarchical accounts, ...) a half-written object never becomes
+#: readable AND rename is emulated or unavailable, so the rename protocol
+#: would be the wrong (sometimes crashing) choice there.  Allowlisting the
+#: rename side keeps unknown schemes on the fail-nowhere default.
+_RENAME_FILESYSTEMS = frozenset({"hdfs", "viewfs", "webhdfs", "alluxio"})
 
 
 def _fs_from_uri(uri: str):
@@ -96,14 +101,16 @@ def append_lineage(
 
     ``out_dir`` may be any pyarrow-supported filesystem URI (s3://,
     hdfs://, gcs://, file://, or a bare local path).  The write protocol
-    is scheme-dependent because atomic visibility is: on TRUE flat object
-    stores (s3://, gs://) a single PUT is already atomic — a half-written
-    object never becomes readable — and there is no native rename to use.
-    On rename-capable filesystems (hdfs://, viewfs://, and anything else
-    pyarrow mounts) an in-progress file IS visible with growing length,
-    so a direct write races concurrent ``read_lineage`` calls with a torn
-    parquet footer; those keep the dot-temp + atomic-rename protocol
-    (``pyarrow.fs.move``; HDFS rename is atomic), same as local paths."""
+    is scheme-dependent because atomic visibility is: on HDFS-family
+    filesystems (_RENAME_FILESYSTEMS) an in-progress file IS visible with
+    growing length, so a direct write races concurrent ``read_lineage``
+    calls with a torn parquet footer — those get the dot-temp +
+    atomic-rename protocol (``pyarrow.fs.move``; HDFS rename is atomic),
+    same as local paths.  Every other scheme — object stores and unknown
+    filesystems — gets a direct single-object PUT, which is already
+    atomically visible there (a half-written object never becomes
+    readable) and avoids emulated or unavailable renames (e.g. S3
+    copy+delete, Azure flat-namespace accounts where rename raises)."""
     import uuid
 
     import pyarrow as pa
@@ -142,12 +149,13 @@ def append_lineage(
             fs.create_dir(path, recursive=True)
         except NotImplementedError:  # flat object stores have no dirs
             pass
-        if scheme in _FLAT_OBJECT_STORES:
-            # S3/GCS: single PUT, atomically visible; no native rename.
-            pq.write_table(tbl, f"{path}/{fname}", filesystem=fs)
-        else:
-            # HDFS & friends: files are readable while being written, so
+        if scheme.lower() in _RENAME_FILESYSTEMS:
+            # HDFS-family: files are readable while being written, so
             # stage under a dot-name and atomically rename into place.
             tmp = f"{path}/.{fname}.tmp"
             pq.write_table(tbl, tmp, filesystem=fs)
             fs.move(tmp, f"{path}/{fname}")
+        else:
+            # object stores & unknown schemes: single PUT, atomically
+            # visible; rename there is emulated (copy+delete) or absent.
+            pq.write_table(tbl, f"{path}/{fname}", filesystem=fs)

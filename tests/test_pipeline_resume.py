@@ -294,7 +294,12 @@ def test_append_lineage_hdfs_uses_temp_then_rename(spark, monkeypatch):
         lin.append_lineage(spark, f"s3://{d}", "run-s3", rows, started)
         assert len(remote_writes) == 2
         assert remote_writes[1].endswith(".parquet") and "/.part-" not in remote_writes[1]
-        assert lin.read_lineage(spark, d).count() == 2
+        # UNKNOWN scheme defaults to the direct PUT too (rename is the
+        # exception, not the rule: emulated/unavailable on object stores)
+        lin.append_lineage(spark, f"abfs://{d}", "run-abfs", rows, started)
+        assert len(remote_writes) == 3
+        assert remote_writes[2].endswith(".parquet") and "/.part-" not in remote_writes[2]
+        assert lin.read_lineage(spark, d).count() == 3
         assert not [f for f in os.listdir(lin.lineage_path(d)) if f.endswith(".tmp")]
     finally:
         shutil.rmtree(d, ignore_errors=True)

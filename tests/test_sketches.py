@@ -207,15 +207,25 @@ def test_bloom_negative_prehashed_fails_loudly(spark):
     bad = spark.range(0, 10).selectExpr(
         "id AS doc_id", "CASE WHEN id = 7 THEN -42 ELSE id END AS shingle_hash"
     )
-    with pytest.raises(PySparkException, match="negative hash"):
+    with pytest.raises(PySparkException, match="negative or NULL hash"):
         sketches.bloom_registers(
             bad, "shingle_hash", m_bits=65536, k=4, pre_hashed=True
+        ).collect()
+    # NULL hashes would NULL-propagate into the same silent row drop —
+    # the guard must name them too, not die with an empty message
+    nul = spark.range(0, 10).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 7 THEN NULL ELSE id END AS shingle_hash",
+    )
+    with pytest.raises(PySparkException, match="negative or NULL hash"):
+        sketches.bloom_registers(
+            nul, "shingle_hash", m_bits=65536, k=4, pre_hashed=True
         ).collect()
     good = spark.range(0, 10).selectExpr("id AS doc_id", "id AS shingle_hash")
     regs = sketches.bloom_registers(
         good, "shingle_hash", m_bits=65536, k=4, pre_hashed=True
     )
-    with pytest.raises(PySparkException, match="negative hash"):
+    with pytest.raises(PySparkException, match="negative or NULL hash"):
         sketches.bloom_probe(bad, regs, m_bits=65536, k=4).collect()
     # guard is identity on in-contract input: probe of the build set flags all
     ok = {r.doc_id: (r.n_keys, r.n_flagged)
