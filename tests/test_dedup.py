@@ -186,6 +186,66 @@ def test_repetition_stats_tie_breaks_by_min_hash(spark):
     assert r["top_gram_chars"] == len(want)
 
 
+def test_repetition_stats_matches_python_reference(spark):
+    """Randomized cross-check of every output column against a direct
+    python model (same tokenization, same min-md5-60 tie-break)."""
+    import hashlib
+    import random
+
+    from kgx.operators import textstats
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rng = random.Random(11)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        for _ in range(40)
+    ]
+
+    def model(doc_id, text, top_n=2, dup_n=3):
+        toks = [t for t in text.split(" ") if t]
+
+        def grams(n):
+            return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+        tg, dg = grams(top_n), grams(dup_n)
+        if not tg or not dg:
+            return None
+        counts = {}
+        for g in tg:
+            counts[g] = counts.get(g, 0) + 1
+        top = min(counts.items(), key=lambda kv: (-kv[1], h60(kv[0])))
+        dcounts = {}
+        for g in dg:
+            dcounts[g] = dcounts.get(g, 0) + 1
+        dup_inst = sum(c - 1 for c in dcounts.values())
+        return {
+            "char_count": len(text),
+            "n_top_grams": len(tg),
+            "top_gram_count": top[1],
+            "top_gram_chars": len(top[0]),
+            "top_gram_frac": top[1] * len(top[0]) / len(text),
+            "n_dup_grams": len(dg),
+            "dup_gram_instances": dup_inst,
+            "dup_gram_frac": dup_inst / len(dg),
+        }
+
+    want = {
+        i: m for i, t in enumerate(texts) if (m := model(i, t)) is not None
+    }
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_stats(_docs(spark, texts)).collect()
+    }
+    assert set(got) == set(want)
+    for i, w in want.items():
+        g = got[i]
+        for k, v in w.items():
+            assert g[k] == v, (i, k, g[k], v, texts[i])
+
+
 def test_quality_filter_rules(spark):
     from kgx.operators import textstats
 
