@@ -146,6 +146,12 @@ SECTIONS = [
      "The composed curation-to-export plan: funnel survivor boundaries "
      "persist (InMemoryTableScan), then one shard-keyed exchange feeds "
      "both the manifest aggregate and the packing window."),
+    ("repetition_stats",
+     "Round 5 (Gopher repetition signals): tokenization hoisted behind "
+     "project_barrier Generates so the gram lambdas slice a bound array "
+     "(inlined split would re-tokenize per gram position); both shuffles "
+     "carry (doc_id, 60-bit hash) bigints — text never crosses an "
+     "exchange."),
 ]
 
 
