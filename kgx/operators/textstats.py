@@ -94,38 +94,62 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
-def _gram_counts(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, h, glen, cnt) — NON-distinct word n-gram occurrence counts
-    per document (repetition needs multiplicities, unlike the dedup
-    family's distinct shingle sets).  The tokenization is hoisted behind a
-    project_barrier so the gram lambda slices a BOUND array attribute —
+def _tagged_gram_expr(n: int, tag: int) -> str:
+    """NON-distinct word n-grams of a bound ``toks`` array attribute as
+    (tag, gram) structs — repetition needs multiplicities, unlike the dedup
+    family's distinct shingle sets.  Referencing a bound attribute matters:
     inlining TOKENS_EXPR into the transform would re-split the whole text
     once per gram position, O(tokens × doc_length) (the same HOF trap
-    dedup._tokenized exists for).  Text collapses to 60-bit hashes at the
-    explode, so the one shuffle (the (doc_id, h) count) carries pure
-    bigints; docs shorter than ``n`` tokens emit nothing (the CASE guard —
-    Spark's ``sequence(1, 0)`` would DESCEND, not return empty)."""
+    dedup._tokenized exists for).  Docs shorter than ``n`` tokens emit
+    nothing (the CASE guard — Spark's ``sequence(1, 0)`` would DESCEND,
+    not return empty)."""
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> named_struct('tag', {tag}, "
+        f"'gram', concat_ws(' ', slice(toks, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def _gram_counts(documents: DataFrame, sizes: list[tuple[int, int]]) -> DataFrame:
+    """(doc_id, char_count, tag, h, glen, cnt) — occurrence counts for ALL
+    requested (n, tag) gram sizes in ONE corpus pass: the tokenization is
+    hoisted behind a project_barrier, every size's grams concat into one
+    explode, and text collapses to 60-bit hashes before the single
+    (doc_id, tag, h) count shuffle — pure bigints cross the exchange, the
+    input is scanned exactly once however many gram sizes are requested."""
     from kgx.functions import hashing
     from kgx.functions.plan import project_barrier
 
     toked = project_barrier(
-        documents.selectExpr("doc_id", f"{TOKENS_EXPR} AS toks")
+        documents.selectExpr(
+            "doc_id",
+            f"{TOKENS_EXPR} AS toks",
+            "cast(length(text) as bigint) AS char_count",
+        )
     )
-    grams = (
-        f"CASE WHEN size(toks) >= {n} THEN "
-        f"transform(sequence(1, size(toks) - {n} + 1), "
-        f"i -> concat_ws(' ', slice(toks, i, {n}))) "
-        f"ELSE array() END"
-    )
+    all_grams = "concat(" + ", ".join(
+        _tagged_gram_expr(n, tag) for n, tag in sizes
+    ) + ")"
     return (
-        toked.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+        toked.select(
+            "doc_id", "char_count", F.explode(F.expr(all_grams)).alias("tg")
+        )
         .select(
             "doc_id",
-            F.expr(hashing.spark_md5_60("gram")).alias("h"),
-            F.length("gram").cast("long").alias("glen"),
+            "char_count",
+            F.col("tg.tag").alias("tag"),
+            F.expr(hashing.spark_md5_60("tg.gram")).alias("h"),
+            F.length("tg.gram").cast("long").alias("glen"),
         )
-        .groupBy("doc_id", "h", "glen")
-        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "tag", "h", "glen")
+        .agg(
+            F.count("*").alias("cnt"),
+            # functionally dependent on doc_id — riding through the agg
+            # keeps the whole operator at ONE corpus scan
+            F.first("char_count").alias("char_count"),
+        )
     )
 
 
@@ -147,50 +171,48 @@ def repetition_stats(
       and their fraction of all ``dup_n``-gram instances — the *duplicate
       n-gram fraction* screen.
 
-    Scale shape: two Generate explodes (no exchange), two partial-combined
-    (doc_id, hash) counts, and doc_id equi-joins of per-doc aggregates —
-    text never crosses an exchange, fractions are exact-int IEEE division
+    Scale shape: ONE corpus scan and NO join — both gram sizes and the
+    char count ride a single project_barrier + explode + (doc_id, tag,
+    hash) count, then one conditional aggregation per doc_id computes
+    both halves (a filter-per-half formulation instead lets Catalyst push
+    tag predicates below the count exchange and DUPLICATE the scan —
+    plan-guard-tested single FileScan).  Pure bigints cross both
+    exchanges — text never does; fractions are exact-int IEEE division
     (bit-identical in the DuckDB oracle, kgx.oracles.repetition_sql)."""
-    tg = _gram_counts(documents, top_n)
-    top = (
-        tg.groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_top_grams"),
-            # (cnt, -h) max = highest count, smallest hash on ties; glen
-            # rides along (h is md5-unique per gram, so never compared)
-            F.max(
+    counted = _gram_counts(documents, [(top_n, 0), (dup_n, 1)])
+    tag0 = F.col("tag") == 0
+    per_doc = counted.groupBy("doc_id").agg(
+        F.first("char_count").alias("char_count"),
+        F.sum(F.when(tag0, F.col("cnt"))).cast("long").alias("n_top_grams"),
+        # (cnt, -h) max = highest count, smallest hash on ties; glen rides
+        # along (h is md5-unique per gram, so never compared); max ignores
+        # the NULLs the WHEN leaves on tag-1 rows
+        F.max(
+            F.when(
+                tag0,
                 F.struct(
                     F.col("cnt").alias("cnt"),
                     (-F.col("h")).alias("negh"),
                     F.col("glen").alias("glen"),
-                )
-            ).alias("m"),
-        )
-        .select(
-            "doc_id",
-            "n_top_grams",
-            F.col("m.cnt").cast("long").alias("top_gram_count"),
-            F.col("m.glen").cast("long").alias("top_gram_chars"),
-        )
-    )
-    dup = _gram_counts(documents, dup_n).groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_dup_grams"),
-        F.sum(F.col("cnt") - 1).cast("long").alias("dup_gram_instances"),
-    )
-    chars = documents.select(
-        "doc_id", F.length("text").cast("long").alias("char_count")
+                ),
+            )
+        ).alias("m"),
+        F.sum(F.when(~tag0, F.col("cnt"))).cast("long").alias("n_dup_grams"),
+        F.sum(F.when(~tag0, F.col("cnt") - 1)).cast("long").alias("dup_gram_instances"),
     )
     return (
-        top.join(dup, "doc_id")
-        .join(chars, "doc_id")
-        .select(
+        # a doc with >= top_n but < dup_n tokens has no tag-1 rows: NULL
+        # dup half -> dropped (inner-join semantics, without any join)
+        per_doc.where(
+            F.col("n_top_grams").isNotNull() & F.col("n_dup_grams").isNotNull()
+        ).select(
             "doc_id",
             "char_count",
             "n_top_grams",
-            "top_gram_count",
-            "top_gram_chars",
+            F.col("m.cnt").cast("long").alias("top_gram_count"),
+            F.col("m.glen").cast("long").alias("top_gram_chars"),
             (
-                F.col("top_gram_count") * F.col("top_gram_chars") / F.col("char_count")
+                F.col("m.cnt") * F.col("m.glen") / F.col("char_count")
             ).alias("top_gram_frac"),
             "n_dup_grams",
             "dup_gram_instances",

@@ -201,6 +201,21 @@ def test_minhash_verify_evaluates_intersection_once(spark, sf_dir):
     assert plan.count("array_intersect") == 1, plan
 
 
+def test_repetition_stats_single_scan_no_join(spark, sf_dir):
+    """Round 5: both gram sizes + the char count must ride ONE corpus scan
+    and fuse into one conditional aggregation — a filter-per-half
+    formulation lets Catalyst push the tag predicates below the count
+    exchange and silently DUPLICATE the tokenize+explode scan (observed:
+    2 FileScans, 0 ReusedExchange), and a join-of-halves re-evaluates the
+    aggregate subplan per branch."""
+    from kgx.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = _physical(spark, textstats.repetition_stats(docs))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_round4_operators_have_no_cartesian(spark, sf_dir):
     """The r4 graph/versioning/sketch family must never degrade to a
     cartesian or nested-loop join (except the 1-row broadcast count
