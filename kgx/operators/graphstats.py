@@ -184,7 +184,9 @@ def entity_cooccurrence(nodes: DataFrame, min_co: int = 2) -> DataFrame:
     )
 
 
-def label_propagation(triples: DataFrame, iters: int = 3) -> DataFrame:
+def label_propagation(
+    triples: DataFrame, iters: int = 3, materialize: bool = True
+) -> DataFrame:
     """Synchronous frequency-vote label propagation (community detection)
     over the UNDIRECTED distinct edge set: ``community_0(u) = u``;
     ``community_{t+1}(u)`` = the most frequent community among u's
@@ -205,13 +207,24 @@ def label_propagation(triples: DataFrame, iters: int = 3) -> DataFrame:
     wider than two label columns crosses an exchange, so at 10^12-doc
     scale each round shuffles the edge list against a table orders of
     magnitude smaller than the corpus.  Output: (label, community).
-    """
+
+    ``materialize`` (default on): the undirected edge set is
+    loop-invariant but referenced once per round plus the label init, so
+    a lazy plan re-runs its union+distinct shuffle (and everything
+    upstream) iters+1 times; one eager ``localCheckpoint`` pins it.
+    Alternating A/B at sf0.1 (checkpointed triples input, 3 iters):
+    1.81-2.41 s lazy vs 1.60-2.06 s pinned, uniformly ordered — and the
+    win scales with iters and upstream plan cost.  (The per-round LABELS
+    state needs no checkpoint: each round references it exactly once, so
+    lineage stays linear — unlike kcore's twice-referenced state.)"""
     from pyspark.sql.window import Window
 
     e = edge_list(triples)
     und = e.union(
         e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
     ).distinct()
+    if materialize:
+        und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("subj").alias("node")).distinct()
         .select("node", F.col("node").alias("community"))
