@@ -230,6 +230,7 @@ def canonical_map(
     nodes: DataFrame,
     use_minhash: bool = False,
     min_jaccard: float = 0.7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Full canonicalization: alias (+ optional LSH) candidates → connected
     components → (label, canonical_label, canonical_id).
@@ -237,8 +238,18 @@ def canonical_map(
     ``canonical_id`` is content-derived (sha2 of the canonical label) so it
     is stable across runs and partition layouts.
     Labels that join no component map to themselves.
-    """
+
+    ``materialize`` (default on): the distinct-label table feeds the
+    alias stem self-join (two references), the optional MinHash edges,
+    the final map-back join, and — through the candidate edges — the
+    connected-components driver threshold count, so a lazy plan re-runs
+    the label distinct (and upstream extraction) per branch.  One eager
+    ``localCheckpoint`` of the bounded label table pins it: alternating
+    A/B at sf0.1, 2.25-5.00 s lazy vs 1.67-2.15 s pinned, uniformly
+    ordered."""
     labels = distinct_labels(nodes)
+    if materialize:
+        labels = labels.localCheckpoint(eager=True)
     cand = alias_edges(labels)
     if use_minhash:
         cand = cand.unionByName(
