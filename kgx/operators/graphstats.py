@@ -355,7 +355,7 @@ def kcore(triples: DataFrame, k: int = 2, iters: int = 4) -> DataFrame:
 
 
 def negative_samples(
-    triples: DataFrame, k: int = 2, buckets: int = 64
+    triples: DataFrame, k: int = 2, buckets: int = 64, materialize: bool = True
 ) -> DataFrame:
     """Deterministic hash-bucketed negative sampling for KG-embedding
     training (TransE-family): each distinct (subj, pred, obj) triple gets
@@ -383,7 +383,13 @@ def negative_samples(
 
     if k < 1 or buckets < 1:
         raise ValueError(f"bad sampling shape k={k} buckets={buckets}")
+    # the distinct triple set feeds THREE branches (both halves of the node
+    # union + the k-way candidate explode); ``materialize`` (default on)
+    # pins it with one eager localCheckpoint — callers whose input is
+    # already materialized (training_pairs) pass False to skip the barrier
     t = triples.select("subj", "pred", "obj").distinct()
+    if materialize:
+        t = t.localCheckpoint(eager=True)
     nodes = (
         t.select(F.col("subj").alias("label"))
         .union(t.select(F.col("obj").alias("label")))
@@ -593,7 +599,7 @@ def training_pairs(
         tri = tri.localCheckpoint(eager=True)
     pos = tri.withColumn("is_positive", F.lit(1).cast("long"))
     neg = (
-        negative_samples(tri, k=k, buckets=buckets)
+        negative_samples(tri, k=k, buckets=buckets, materialize=False)
         .select(
             "subj",
             "pred",
