@@ -362,8 +362,15 @@ docs/s on this host as of round 1).  The full pipeline above sustains
 {best8:,.0f} triples/s on 8 pinned cores including all four table
 materializations, and scales out by partition count.
 """
-    # hand-written sections (query-suite throughput notes etc.) live in
-    # BASELINE_extra.md so regenerating the measured part never wipes them
+    # hand-written sections live OUTSIDE the regenerated part so a scaling
+    # run never wipes them: BASELINE_header.md (round summaries + headline
+    # table) goes right under the title, BASELINE_extra.md (query-suite
+    # throughput notes etc.) is appended at the end
+    header_path = os.path.join(REPO, "BENCH", "BASELINE_header.md")
+    if os.path.exists(header_path):
+        title, _, body = md.partition("\n\n")
+        with open(header_path) as hf:
+            md = title + "\n\n" + hf.read().rstrip() + "\n\n" + body
     extra_path = os.path.join(REPO, "BENCH", "BASELINE_extra.md")
     if os.path.exists(extra_path):
         with open(extra_path) as ef:
