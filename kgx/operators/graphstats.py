@@ -355,7 +355,11 @@ def kcore(triples: DataFrame, k: int = 2, iters: int = 4) -> DataFrame:
 
 
 def negative_samples(
-    triples: DataFrame, k: int = 2, buckets: int = 64, materialize: bool = True
+    triples: DataFrame,
+    k: int = 2,
+    buckets: int = 64,
+    materialize: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Deterministic hash-bucketed negative sampling for KG-embedding
     training (TransE-family): each distinct (subj, pred, obj) triple gets
@@ -386,8 +390,12 @@ def negative_samples(
     # the distinct triple set feeds THREE branches (both halves of the node
     # union + the k-way candidate explode); ``materialize`` (default on)
     # pins it with one eager localCheckpoint — callers whose input is
-    # already materialized (training_pairs) pass False to skip the barrier
-    t = triples.select("subj", "pred", "obj").distinct()
+    # already materialized (training_pairs) pass False to skip the barrier,
+    # and ``assume_distinct`` skips the dedup exchange entirely when the
+    # caller's input is already a distinct (subj, pred, obj) set
+    t = triples.select("subj", "pred", "obj")
+    if not assume_distinct:
+        t = t.distinct()
     if materialize:
         t = t.localCheckpoint(eager=True)
     nodes = (
@@ -599,7 +607,9 @@ def training_pairs(
         tri = tri.localCheckpoint(eager=True)
     pos = tri.withColumn("is_positive", F.lit(1).cast("long"))
     neg = (
-        negative_samples(tri, k=k, buckets=buckets, materialize=False)
+        negative_samples(
+            tri, k=k, buckets=buckets, materialize=False, assume_distinct=True
+        )
         .select(
             "subj",
             "pred",
