@@ -321,6 +321,23 @@ def q_lm_trigram_counts(spark, sf_dir):
     return indexing.lm_ngram_counts(_documents(spark, sf_dir), n=3, min_count=2)
 
 
+#: bm25_topk gate parameters — shared by the query and its oracle so they
+#: can never drift; 'dup' is the one rare token in the driver vocabulary
+#: (df/N ≈ 0.05 → idf_bits 5), the others are common (idf_bits 1), so the
+#: ranking exercises both idf extremes plus tf/length normalization.
+BM25_GATE = dict(query_terms=["dup", "window", "join", "hash"], k=25)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Fixed-point BM25 top-k keyword retrieval (NEW r5) — targeted data
+    selection over the inverted index: bigint score (log2-bit-length idf,
+    milli-scaled saturation/length-norm ratio), TakeOrderedAndProject
+    top-k, deterministic (score DESC, doc_id) tie-break."""
+    from kgx.operators import indexing
+
+    return indexing.bm25_topk(_documents(spark, sf_dir), **BM25_GATE)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup: k-means bucketing + within-cluster cosine ball, keep-first
     (cluster equi-join is the only shuffle beyond k-means; k sized so
@@ -1273,12 +1290,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 90 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
+    """All 91 oracle-backed queries.  THE ORDER IS LOAD-BEARING: the
     driver's correctness gate records the FIRST 50 entries only, so the
     dict is split into an explicit gate set (the 50 highest-information
     rows: the full reference extraction contract kg_*/link_*, every dedup
     / similarity / curation family head, and this round's bugfix witness
-    s2_binary_ingest) followed by the rotation remainder (40 rows, every
+    s2_binary_ingest) followed by the rotation remainder (41 rows, every
     one still oracle-backed).  docs/COVERAGE.md maps each remainder row to
     its judge-verifiable one-liner:
     ``python tools/compare_oracle.py /root/testdata/sf0.01 <name>``."""
@@ -1351,7 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_bucket_metrics": q_a7_bucket_metrics,
         "fn_scalar_suite": q_fn_scalar_suite,
         "p6_p8_text_gate": q_p6_p8_text_gate,
-        # ---- rotation remainder (40 — outside the driver's 50-row cap;
+        # ---- rotation remainder (41 — outside the driver's 50-row cap;
         # each is oracle-backed and judge-verifiable via
         # `python tools/compare_oracle.py /root/testdata/sf0.01 <name>`;
         # full mapping + rationale in docs/COVERAGE.md) ----
@@ -1395,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "token_mix": q_token_mix,
         "repetition_stats": q_repetition_stats,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -1498,4 +1516,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": oracles.shard_manifest_sql(n_shards=8),
         "token_mix": oracles.token_mix_sql(),
         "repetition_stats": oracles.repetition_sql(),
+        "bm25_topk": oracles.bm25_topk_sql(**BM25_GATE),
     }

@@ -95,3 +95,97 @@ def lm_ngram_counts(documents: DataFrame, n: int = 3, min_count: int = 2) -> Dat
     return out.join(cont, "suffix").select(
         "gram", "n_occurrences", "n_docs", "suffix", "continuation_count"
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1_centi: int = 120,
+    b_centi: int = 75,
+) -> DataFrame:
+    """Top-k documents for a keyword query under fixed-point BM25 — the
+    retrieval pass a targeted-data-selection pipeline runs over the
+    inverted index (e.g. "pull the k most domain-relevant docs for this
+    term set" before fine-tune mixing).
+
+    Engine-neutral by construction: every quantity is a BIGINT and every
+    division is an explicit floor division (Spark ``div`` == DuckDB ``//``
+    on non-negative operands), so the DuckDB oracle replays the score
+    bit-for-bit — the same discipline as the integer PageRank and the
+    quantized ANN dot products.  Two deliberate quantizations versus
+    textbook BM25 (Robertson/Okapi):
+
+    - **idf**: ``length(bin(N div df))`` = floor(log2(N/df)) + 1 — the
+      log2-bit-length idf (exact integer; the HLL rho / log2-histogram
+      arithmetic), monotone non-increasing in df.
+    - **tf saturation + length normalization**: with k1 = k1_centi/100,
+      b = b_centi/100, avgdl = T/N (T = corpus token count), the real-valued
+      term ``tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)`` is evaluated as
+      one bigint ratio by multiplying numerator and denominator through by
+      10000·T, then milli-scaled:
+
+          contrib_milli = (1000·idf_bits·tf·(100+K)·100·T)
+                      div (10000·T·tf + K·(100−B)·T + K·B·dl·N)
+
+      (K = k1_centi, B = b_centi).  Bigint headroom: the numerator is
+      ≈ 2.2e9·tf·T at default K with idf_bits ≤ 20, overflowing int64
+      once tf·T ≳ 4e9 — beyond that substitute the reduced pair
+      (N/g, T/g), g = gcd(N, T), into the length-norm term (the norm
+      depends only on the RATIO N/T; idf keeps the true N), and/or drop
+      the 1000× milli scale — the score ORDER is unchanged either way.
+
+    Plan shape (the 100 TB story): the token explode is filtered to the
+    query terms BEFORE any aggregation, so tf/df shuffles carry only
+    matching postings; corpus scalars (N, T) ride in on a broadcast
+    one-row cross join; the final top-k is ``orderBy().limit(k)`` —
+    Spark's TakeOrderedAndProject, a per-partition heap + driver merge of
+    k rows, never a global sort.
+
+    Output: (doc_id, score_milli, n_terms, rank) — rank 1..k by
+    (score_milli DESC, doc_id) — deterministic total order.
+    """
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if not (k > 0 and k1_centi >= 0 and 0 <= b_centi <= 100):
+        raise ValueError("need k > 0, k1_centi >= 0, 0 <= b_centi <= 100")
+    K, B = int(k1_centi), int(b_centi)
+    tf = (
+        _doc_tokens(documents)
+        .where(F.col("token").isin([str(t) for t in query_terms]))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    dl = documents.select(
+        "doc_id", F.expr(f"cast(size({TOKENS_EXPR}) as bigint)").alias("dl")
+    )
+    stats = documents.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr(f"size({TOKENS_EXPR})")).cast("long").alias("total_tokens"),
+    )
+    contrib = (
+        tf.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.expr(
+                f"(1000L * cast(length(bin(n_docs div df)) as bigint) * tf"
+                f" * {100 + K}L * 100L * total_tokens) div"
+                f" (10000L * total_tokens * tf"
+                f" + {K * (100 - B)}L * total_tokens"
+                f" + {K * B}L * dl * n_docs)"
+            ),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("score_milli"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    topk = per_doc.orderBy(F.desc("score_milli"), F.asc("doc_id")).limit(k)
+    # rank over the k surviving rows only (bounded single-partition window)
+    w = Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

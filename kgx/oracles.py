@@ -2786,6 +2786,52 @@ JOIN cont ct ON ct.suffix = substring(c.gram, length(split_part(c.gram, ' ', 1))
 """.strip()
 
 
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1_centi: int = 120,
+    b_centi: int = 75,
+) -> str:
+    """Oracle for fixed-point BM25 top-k retrieval (mirror of
+    kgx.operators.indexing.bm25_topk): identical bigint formula — DuckDB
+    ``//`` replays Spark ``div`` (both floor on non-negative operands),
+    ``length(bin(x))`` replays the log2-bit-length idf — so score_milli
+    matches bit-for-bit and the (score DESC, doc_id) tie-break pins the
+    same top-k and ranks."""
+    K, B = int(k1_centi), int(b_centi)
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    t = "list_filter(str_split(text, ' '), t -> t <> '')"
+    return f"""
+WITH {_DOC_TOKENS_CTE},
+tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE token IN ({terms}) GROUP BY 1, 2),
+dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len({t}) AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({t})) AS BIGINT) AS total_tokens
+          FROM documents),
+contrib AS (
+    SELECT tf.doc_id,
+           (1000 * CAST(length(bin(n_docs // df)) AS BIGINT) * tf
+            * {100 + K} * 100 * total_tokens)
+           // (10000 * total_tokens * tf
+               + {K * (100 - B)} * total_tokens
+               + {K * B} * dl.dl * n_docs) AS c
+    FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+per_doc AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_milli,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM contrib GROUP BY 1
+)
+SELECT doc_id, score_milli, n_terms,
+       CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+FROM per_doc
+ORDER BY score_milli DESC, doc_id
+LIMIT {int(k)}
+""".strip()
+
+
 def media_caption_pairs_sql() -> str:
     """Oracle for interleaved caption mining (mirror of
     kgx.operators.media.media_caption_pairs): nearest non-empty text spans

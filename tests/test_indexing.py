@@ -71,3 +71,95 @@ def test_short_docs_produce_no_grams(spark):
         pd.DataFrame({"doc_id": [1, 2], "text": ["one two", ""]})
     )
     assert indexing.lm_ngram_counts(docs, n=3, min_count=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk — fixed-point BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def _bm25_python(docs, terms, k, K=120, B=75):
+    """Independent Python mirror of the exact bigint formula."""
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in docs.items()}
+    n_docs = len(docs)
+    total = sum(len(ts) for ts in toks.values())
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    scores = {}
+    for d, ts in toks.items():
+        s, n_match = 0, 0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            n_match += 1
+            idf_bits = (n_docs // df[t]).bit_length()
+            num = 1000 * idf_bits * tf * (100 + K) * 100 * total
+            den = (10000 * total * tf + K * (100 - B) * total
+                   + K * B * len(ts) * n_docs)
+            s += num // den
+        if n_match:
+            scores[d] = (s, n_match)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    return [(d, s, n, i + 1) for i, (d, (s, n)) in enumerate(ranked)]
+
+
+def test_bm25_exact_scores_vs_python_reference(spark):
+    docs = {
+        1: "cat cat cat dog fish",
+        2: "cat dog",
+        3: "dog dog dog dog dog dog dog dog dog dog dog dog",
+        4: "fish shark whale heron newt owl",
+        5: "mouse mole vole shrew",
+    }
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    terms = ["cat", "dog", "fish"]
+    got = [(r.doc_id, r.score_milli, r.n_terms, r.rank)
+           for r in indexing.bm25_topk(sdf, terms, k=4).collect()]
+    assert got == _bm25_python(docs, terms, 4)
+
+
+def test_bm25_ranking_properties(spark):
+    """Rarer terms weigh more (log2 idf); longer docs are normalized down;
+    rank is a 1..k sequence following (score DESC, doc_id)."""
+    docs = {
+        # 'rare' appears in 1 of 16 docs -> idf_bits 5; 'common' in 12 -> 1
+        **{i: "common filler words here" for i in range(1, 13)},
+        13: "rare thing",
+        14: "common rare",
+        15: "unrelated entirely",
+        16: "common common common common common common common common",
+    }
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    out = indexing.bm25_topk(sdf, ["rare", "common"], k=20).collect()
+    ranks = [r.rank for r in out]
+    assert ranks == list(range(1, len(out) + 1))
+    scores = {r.doc_id: r.score_milli for r in out}
+    assert 15 not in scores  # no query term -> not retrieved
+    # both rare-containing docs beat every common-only doc
+    common_best = max(s for d, s in scores.items() if d not in (13, 14))
+    assert min(scores[13], scores[14]) > common_best
+    # tf saturation + length norm: 8x'common' in a doc of 8 tokens must not
+    # score 8x a single hit, and scores stay ordered deterministically
+    assert scores[16] < 8 * scores[1]
+
+
+def test_bm25_topk_limits_and_validates(spark, tiny):
+    assert indexing.bm25_topk(tiny, ["the"], k=2).count() == 2
+    assert indexing.bm25_topk(tiny, ["zebra"], k=3).count() == 0
+    with pytest.raises(ValueError):
+        indexing.bm25_topk(tiny, [], k=3)
+    with pytest.raises(ValueError):
+        indexing.bm25_topk(tiny, ["the"], k=0)
+
+
+def test_bm25_plan_is_takeordered_not_global_sort(spark, tiny):
+    """Top-k must compile to TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows), never a full Sort: a global sort of the
+    scored-doc table is the 100 TB scale-killer here."""
+    df = indexing.bm25_topk(tiny, ["the", "cat"], k=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
