@@ -120,6 +120,15 @@ SECTIONS = [
      "Vocabulary head: partial HashAggregate collapses hot tokens "
      "map-side; the global head is TakeOrderedAndProject (per-partition "
      "heaps), not a full sort."),
+    ("bm25_topk",
+     "Round 5 (fixed-point BM25 retrieval): the token explode is filtered "
+     "to the query terms before any aggregation, so tf/df exchanges carry "
+     "matching postings only; the per-term tf table is localCheckpointed "
+     "once and feeds both the df aggregate and the scoring join (a lazy "
+     "plan replays the corpus explode per branch — A/B'd in the "
+     "docstring); corpus scalars ride a 1-row broadcast; the top-k is "
+     "TakeOrderedAndProject, and the rank window runs over the "
+     "already-limited k rows."),
     ("emb_kmeans",
      "Integer Lloyd's k-means: centroid table broadcast into every "
      "assignment; the update shuffle carries only partitions x k x dim "
