@@ -208,3 +208,56 @@ def bm25_topk(
     # rank over the k surviving rows only (bounded single-partition window)
     w = Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def unigram_surprisal(
+    documents: DataFrame, materialize: bool = False
+) -> DataFrame:
+    """Per-document mean unigram surprisal in (quantized) bits — the
+    perplexity-style quality screen of CCNet/RedPajama run with the
+    corpus's OWN unigram statistics instead of a trained LM: documents
+    made of corpus-common tokens score low (boilerplate, templates),
+    documents of corpus-rare tokens score high (noise, mojibake, exotic
+    vocab), and the screen keeps the middle band.
+
+    Engine-neutral bigint arithmetic throughout: a token with corpus count
+    ct out of T total tokens gets ``surprisal_bits = length(bin(T div
+    ct))`` = floor(log2(T/ct)) + 1 — the log2-bit-length quantization of
+    −log2 p(t) (same arithmetic as the HLL rho and the BM25 idf), and the
+    per-doc mean is milli-scaled floor division, so the DuckDB oracle
+    replays every score bit-for-bit.
+
+    Plan shape: one token explode feeds (a) the vocab-sized (token, ct)
+    count aggregate — whose 1-row sum is T, broadcast back — and (b) the
+    scoring join probe side; the count side arrives AQE-decided (vocab
+    size is unbounded on the open web, so no forced broadcast hint —
+    the alias-dictionary stance).  ``materialize`` pins the exploded
+    token table with one eager ``localCheckpoint`` so the explode runs
+    once, not twice — but unlike the bm25/jaccard pins the table here is
+    CORPUS-scale (every token row) while the replayed work is one cheap
+    projection+explode, and the A/B at sf0.1 (alternating 5-round,
+    warmed, local[8]) read lazy 0.84/0.64/0.70/0.58/0.58 s vs pinned
+    1.06/0.68/0.72/0.63/0.61 s — lazy won every round, so the default
+    stays lazy (the pagerank-edge-list stance: measured losers don't
+    checkpoint).
+
+    Output: (doc_id, n_tokens, total_bits, mean_milli_bits) — one row per
+    document with ≥ 1 token.
+    """
+    toks = _doc_tokens(documents)
+    if materialize:
+        toks = toks.localCheckpoint(eager=True)
+    ct = toks.groupBy("token").agg(F.count("*").cast("long").alias("ct"))
+    total = ct.agg(F.sum("ct").cast("long").alias("t_total"))
+    scored = (
+        toks.join(ct, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "bits", F.expr("cast(length(bin(t_total div ct)) as bigint)")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("(1000L * sum(bits)) div count(*)").alias("mean_milli_bits"),
+    )

@@ -2832,6 +2832,28 @@ LIMIT {int(k)}
 """.strip()
 
 
+def unigram_surprisal_sql() -> str:
+    """Oracle for the per-document mean unigram surprisal screen (mirror
+    of kgx.operators.indexing.unigram_surprisal): same log2-bit-length
+    quantization (``length(bin(T // ct))``) and milli-scaled floor-divided
+    mean, so every score matches bit-for-bit."""
+    return f"""
+WITH {_DOC_TOKENS_CTE},
+ct AS (SELECT token, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY 1),
+stats AS (SELECT CAST(sum(ct) AS BIGINT) AS t_total FROM ct),
+scored AS (
+    SELECT toks.doc_id,
+           CAST(length(bin(t_total // ct)) AS BIGINT) AS bits
+    FROM toks JOIN ct USING (token) CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(bits) AS BIGINT) AS total_bits,
+       (1000 * CAST(sum(bits) AS BIGINT)) // CAST(count(*) AS BIGINT)
+           AS mean_milli_bits
+FROM scored GROUP BY 1
+""".strip()
+
+
 def media_caption_pairs_sql() -> str:
     """Oracle for interleaved caption mining (mirror of
     kgx.operators.media.media_caption_pairs): nearest non-empty text spans

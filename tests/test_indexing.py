@@ -163,3 +163,46 @@ def test_bm25_plan_is_takeordered_not_global_sort(spark, tiny):
     df = indexing.bm25_topk(tiny, ["the", "cat"], k=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# unigram_surprisal — corpus-statistics perplexity screen
+# ---------------------------------------------------------------------------
+
+
+def _surprisal_python(docs):
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in docs.items()}
+    allt = [t for ts in toks.values() for t in ts]
+    total = len(allt)
+    ct = {t: allt.count(t) for t in set(allt)}
+    out = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        bits = [(total // ct[t]).bit_length() for t in ts]
+        out[d] = (len(ts), sum(bits), (1000 * sum(bits)) // len(ts))
+    return out
+
+
+def test_unigram_surprisal_exact_vs_python_reference(spark):
+    docs = {
+        1: "the the the the cat",
+        2: "the dog sat",
+        3: "xylophone quetzal",
+        4: "",
+        5: "the the the the the the the the",
+    }
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    got = {r.doc_id: (r.n_tokens, r.total_bits, r.mean_milli_bits)
+           for r in indexing.unigram_surprisal(sdf).collect()}
+    assert got == _surprisal_python(docs)
+    assert 4 not in got  # tokenless doc has no row
+    means = {d: v[2] for d, v in got.items()}
+    # rare-vocab doc scores strictly above the all-stopword doc
+    assert means[3] > means[5]
+    # lazy and pinned plans agree
+    lazy = {r.doc_id: (r.n_tokens, r.total_bits, r.mean_milli_bits)
+            for r in indexing.unigram_surprisal(sdf, materialize=False).collect()}
+    assert lazy == got

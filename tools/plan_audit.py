@@ -129,6 +129,12 @@ SECTIONS = [
      "docstring); corpus scalars ride a 1-row broadcast; the top-k is "
      "TakeOrderedAndProject, and the rank window runs over the "
      "already-limited k rows."),
+    ("unigram_surprisal",
+     "Round 5 (corpus-statistics perplexity screen): ONE token explode "
+     "feeds the vocab-sized count aggregate (1-row total broadcast back) "
+     "and the scoring join; the count side is AQE-decided (unbounded "
+     "vocab, no forced broadcast); the corpus-scale token pin was A/B'd "
+     "and measured a LOSER, so the plan stays lazy."),
     ("emb_kmeans",
      "Integer Lloyd's k-means: centroid table broadcast into every "
      "assignment; the update shuffle carries only partitions x k x dim "
