@@ -206,3 +206,30 @@ def test_unigram_surprisal_exact_vs_python_reference(spark):
     lazy = {r.doc_id: (r.n_tokens, r.total_bits, r.mean_milli_bits)
             for r in indexing.unigram_surprisal(sdf, materialize=False).collect()}
     assert lazy == got
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_bm25_and_surprisal_match_reference_on_random_corpus(spark, seed):
+    """Randomized python-reference check: arbitrary Zipf-ish corpora must
+    match the bigint formulas exactly (not just the hand-built fixtures)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {
+        d: " ".join(
+            vocab[min(rng.randrange(1, 41), rng.randrange(1, 41)) - 1]
+            for _ in range(rng.randrange(0, 30))
+        )
+        for d in range(60)
+    }
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    terms = rng.sample(vocab, 6)
+    got = [(r.doc_id, r.score_milli, r.n_terms, r.rank)
+           for r in indexing.bm25_topk(sdf, terms, k=15).collect()]
+    assert got == _bm25_python(docs, terms, 15)
+    surp = {r.doc_id: (r.n_tokens, r.total_bits, r.mean_milli_bits)
+            for r in indexing.unigram_surprisal(sdf).collect()}
+    assert surp == _surprisal_python(docs)
