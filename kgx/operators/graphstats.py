@@ -619,3 +619,98 @@ def training_pairs(
         .join(tri, ["subj", "pred", "obj"], "left_anti")
     )
     return pos.unionByName(neg)
+
+
+def random_walks(
+    triples: DataFrame,
+    length: int = 4,
+    walks_per_node: int = 2,
+    seed: int = 0,
+    materialize: bool = True,
+) -> DataFrame:
+    """DeepWalk-style deterministic random-walk corpus over the directed
+    KG edge list — the graph→sequence export a skip-gram / node2vec
+    trainer consumes (Perozzi et al. 2014), closing the loop from
+    extracted graph back to training data next to
+    :func:`training_pairs`.
+
+    Walk rule: from node u at step i of walk w, the next node is
+    ``sorted_out_neighbors(u)[ md5_60(u|w|i|seed) % out_degree(u) ]`` —
+    pure md5-60 arithmetic (kgx.functions.hashing), so the DuckDB oracle
+    replays every step bit-for-bit and re-runs are reproducible by
+    (seed, walk_id).  Walks stop early at sinks (no out-edges): the
+    walk row keeps its prefix, giving skip-gram windows exactly the
+    context that exists.
+
+    Scale shape: each of the ``length − 1`` steps is ONE label
+    equi-join of the walk frontier against the adjacency table
+    (AQE-decided build side), and frontier rows carry only (labels,
+    ≤ length-string array), never text.  ``materialize`` (default on)
+    pins the distinct EDGE list with one eager ``localCheckpoint`` — it
+    feeds the adjacency aggregate plus both halves of the node union,
+    and on extraction-fed input a lazy plan replays the whole
+    extraction subtree per branch (the checkpointed-edge-table stance
+    of the other graph ops).  The adjacency table itself deliberately
+    stays LAZY: the split A/B (200k-edge synthetic, alternating
+    3-round, warmed) read edge-pin-only 0.84/0.80/0.75 s vs +adj-pin
+    1.56/1.06/1.08 s — every step's join probes one identical exchange
+    Spark already reuses, while the pin serializes corpus-scale
+    neighbor arrays.  Hub adjacency arrays are bounded by out-degree;
+    for open-web graphs compose with a degree cap upstream (the
+    common_neighbor_candidates hub stance).
+
+    Output: (start_label, walk_id, walk array<string>, walk_len) —
+    ``walks_per_node`` rows per graph node.
+    """
+    from kgx.functions.hashing import spark_md5_60
+
+    if length < 1 or walks_per_node < 1:
+        raise ValueError(
+            f"bad walk shape length={length} walks_per_node={walks_per_node}"
+        )
+    e = edge_list(triples)
+    if materialize:
+        # feeds the adjacency aggregate + both halves of the node union
+        e = e.localCheckpoint(eager=True)
+    adj = e.groupBy("subj").agg(F.sort_array(F.collect_set("obj")).alias("nbrs"))
+    nodes = (
+        e.select(F.col("subj").alias("label"))
+        .union(e.select(F.col("obj").alias("label")))
+        .distinct()
+    )
+    cur = nodes.selectExpr(
+        "label AS start_label",
+        f"explode(sequence(0, {walks_per_node - 1})) AS w",
+        "label AS cur",
+        "array(label) AS walk",
+    ).selectExpr("start_label", "cast(w as bigint) AS walk_id", "cur", "walk")
+    for i in range(1, length):
+        h = spark_md5_60(
+            f"concat_ws('|', cur, cast(walk_id as string), '{i}', '{seed}')"
+        )
+        stepped = cur.join(adj, F.col("cur") == F.col("subj"), "left").select(
+            "start_label",
+            "walk_id",
+            "cur",
+            "walk",
+            F.expr(
+                f"CASE WHEN nbrs IS NULL THEN NULL "
+                f"ELSE element_at(nbrs, cast(({h}) % size(nbrs) AS int) + 1) "
+                f"END"
+            ).alias("nxt"),
+        )
+        cur = stepped.select(
+            "start_label",
+            "walk_id",
+            F.expr("coalesce(nxt, cur)").alias("cur"),
+            F.expr(
+                "CASE WHEN nxt IS NULL THEN walk "
+                "ELSE array_append(walk, nxt) END"
+            ).alias("walk"),
+        )
+    return cur.select(
+        "start_label",
+        "walk_id",
+        "walk",
+        F.expr("cast(size(walk) as bigint)").alias("walk_len"),
+    )

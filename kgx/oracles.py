@@ -2208,6 +2208,53 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL
 """.strip()
 
 
+def graph_random_walks_sql(
+    length: int = 4, walks_per_node: int = 2, seed: int = 0
+) -> str:
+    """Oracle for the DeepWalk-style walk corpus (mirror of
+    kgx.operators.graphstats.random_walks): the step hash
+    md5_60(cur|walk_id|i|seed) mod out-degree indexes the SAME
+    list_sort'ed adjacency array (binary string order in both engines),
+    one unrolled CTE per step, so every walk matches element-for-element."""
+    from kgx.functions.hashing import duckdb_md5_60
+
+    ctes = [
+        "gr_adj AS MATERIALIZED (SELECT subj, list_sort(list(DISTINCT obj)) "
+        "AS nbrs FROM gr_edges GROUP BY 1)",
+        "gr_nodes AS (SELECT subj AS label FROM gr_edges "
+        "UNION SELECT obj FROM gr_edges)",
+        f"""
+w0 AS (
+    SELECT label AS start_label, CAST(w AS BIGINT) AS walk_id,
+           label AS cur, [label] AS walk
+    FROM gr_nodes, (SELECT unnest(range({walks_per_node})) AS w) ws
+)""".strip(),
+    ]
+    for i in range(1, length):
+        h = duckdb_md5_60(
+            f"concat_ws('|', cur, CAST(walk_id AS VARCHAR), '{i}', '{seed}')"
+        )
+        pick = f"nbrs[CAST(({h}) % len(nbrs) AS INT) + 1]"
+        ctes.append(
+            f"""
+w{i} AS (
+    SELECT start_label, walk_id,
+           CASE WHEN nbrs IS NULL THEN cur ELSE {pick} END AS cur,
+           CASE WHEN nbrs IS NULL THEN walk
+                ELSE list_append(walk, {pick}) END AS walk
+    FROM w{i - 1} LEFT JOIN gr_adj ON w{i - 1}.cur = gr_adj.subj
+)""".strip()
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+{_graph_edges_ctes()},
+{chain}
+SELECT start_label, walk_id, walk,
+       CAST(len(walk) AS BIGINT) AS walk_len
+FROM w{length - 1}
+""".strip()
+
+
 def kg_negative_samples_sql(k: int = 2, buckets: int = 64) -> str:
     """Oracle for hash-bucketed negative sampling (mirror of
     kgx.operators.graphstats.negative_samples): md5-60 of

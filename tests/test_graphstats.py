@@ -575,3 +575,82 @@ def test_training_pairs_filters_cross_triple_collisions(spark):
     # on this graph the only survivable corruptions are self-loops
     assert all(s == o for (s, p, o) in neg)
     assert pos_set.isdisjoint(neg)
+
+
+# ---------------------------------------------------------------------------
+# random_walks — DeepWalk-style deterministic walk corpus
+# ---------------------------------------------------------------------------
+
+
+def _py_random_walks(edges, length=4, walks_per_node=2, seed=0):
+    """Driver-side reference: same md5-60 step arithmetic, plain dicts."""
+    import hashlib
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    e = sorted(set(edges))
+    adj = {}
+    for u, v in e:
+        adj.setdefault(u, set()).add(v)
+    adj = {u: sorted(vs) for u, vs in adj.items()}
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    out = {}
+    for n in nodes:
+        for w in range(walks_per_node):
+            cur, walk = n, [n]
+            for i in range(1, length):
+                nbrs = adj.get(cur)
+                if nbrs:
+                    cur = nbrs[md5_60(f"{cur}|{w}|{i}|{seed}") % len(nbrs)]
+                    walk.append(cur)
+            out[(n, w)] = walk
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_random_walks_match_reference_on_random_graph(spark, seed):
+    rng = random.Random(seed)
+    labels = [f"n{i}" for i in range(25)]
+    edges = [(u, v) for u, v in {(rng.choice(labels), rng.choice(labels))
+                                 for _ in range(80)} if u != v]
+    got = {(r.start_label, r.walk_id): list(r.walk)
+           for r in graphstats.random_walks(
+               _triples_df(spark, edges), length=5, walks_per_node=3,
+               seed=seed).collect()}
+    assert got == _py_random_walks(edges, length=5, walks_per_node=3, seed=seed)
+
+
+def test_random_walks_laws(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
+    rows = graphstats.random_walks(
+        _triples_df(spark, edges), length=6, walks_per_node=2
+    ).collect()
+    eset = set(edges)
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    assert len(rows) == 2 * len(nodes)  # walks_per_node rows per node
+    for r in rows:
+        assert r.walk[0] == r.start_label
+        assert r.walk_len == len(r.walk)
+        # every consecutive pair is a real directed edge
+        assert all((r.walk[i], r.walk[i + 1]) in eset
+                   for i in range(len(r.walk) - 1))
+        # 'd' is a sink: its walks never grow
+        if r.start_label == "d":
+            assert list(r.walk) == ["d"]
+        else:
+            assert r.walk_len == 6  # this graph has no other early stop
+    # lazy plan agrees with the pinned one
+    lazy = {(r.start_label, r.walk_id): list(r.walk)
+            for r in graphstats.random_walks(
+                _triples_df(spark, edges), length=6, walks_per_node=2,
+                materialize=False).collect()}
+    assert lazy == {(r.start_label, r.walk_id): list(r.walk) for r in rows}
+
+
+def test_random_walks_validates(spark):
+    with pytest.raises(ValueError):
+        graphstats.random_walks(_triples_df(spark, [("a", "b")]), length=0)
+    with pytest.raises(ValueError):
+        graphstats.random_walks(
+            _triples_df(spark, [("a", "b")]), walks_per_node=0)

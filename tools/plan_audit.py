@@ -129,6 +129,13 @@ SECTIONS = [
      "docstring); corpus scalars ride a 1-row broadcast; the top-k is "
      "TakeOrderedAndProject, and the rank window runs over the "
      "already-limited k rows."),
+    ("graph_random_walks",
+     "Round 5 (DeepWalk walk corpus): length−1 unrolled steps, each ONE "
+     "label equi-join of the walk frontier against the lazy adjacency "
+     "aggregate (every step probes the same exchange, which Spark "
+     "reuses); the distinct edge list below is localCheckpointed so the "
+     "extraction subtree runs once; frontier rows carry only labels and "
+     "a ≤ length-string array."),
     ("unigram_surprisal",
      "Round 5 (corpus-statistics perplexity screen): ONE token explode "
      "feeds the vocab-sized count aggregate (1-row total broadcast back) "
