@@ -714,3 +714,37 @@ def random_walks(
         "walk",
         F.expr("cast(size(walk) as bigint)").alias("walk_len"),
     )
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Windowed skip-gram co-occurrence counts over a walk corpus — the
+    (center, context) training-pair table a word2vec/node2vec trainer
+    consumes, composing directly over :func:`random_walks` output.
+
+    Pair enumeration is IN-ROW over each walk array (nested array HOFs +
+    one Generate — the entity_cooccurrence stance: no self-join, work per
+    row bounded by ``walk_len × 2·window``), followed by ONE
+    map-side-combined count aggregate, so the shuffle carries
+    pre-combined (center, context) rows.  Pairs keep multiplicity
+    (standard skip-gram), and a label co-occurring with itself from two
+    different walk positions is a legitimate pair.
+
+    Output: (center, context, n_pairs).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    W = int(window)
+    pairs = walks.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, size(walk)), i -> "
+                f"transform(filter(sequence(greatest(1, i - {W}), "
+                f"least(size(walk), i + {W})), j -> j != i), "
+                f"j -> struct(element_at(walk, i) AS center, "
+                f"element_at(walk, j) AS context))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.center", "p.context").groupBy(
+        "center", "context"
+    ).agg(F.count("*").cast("long").alias("n_pairs"))

@@ -2208,14 +2208,12 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL
 """.strip()
 
 
-def graph_random_walks_sql(
+def _random_walks_ctes(
     length: int = 4, walks_per_node: int = 2, seed: int = 0
-) -> str:
-    """Oracle for the DeepWalk-style walk corpus (mirror of
-    kgx.operators.graphstats.random_walks): the step hash
-    md5_60(cur|walk_id|i|seed) mod out-degree indexes the SAME
-    list_sort'ed adjacency array (binary string order in both engines),
-    one unrolled CTE per step, so every walk matches element-for-element."""
+) -> tuple[str, str]:
+    """CTE chain replaying kgx.operators.graphstats.random_walks on top of
+    ``gr_edges``; returns (chain, final_cte_name) so the walk corpus and
+    the skip-gram pair oracle share one generator."""
     from kgx.functions.hashing import duckdb_md5_60
 
     ctes = [
@@ -2245,13 +2243,55 @@ w{i} AS (
     FROM w{i - 1} LEFT JOIN gr_adj ON w{i - 1}.cur = gr_adj.subj
 )""".strip()
         )
-    chain = ",\n".join(ctes)
+    return ",\n".join(ctes), f"w{length - 1}"
+
+
+def graph_random_walks_sql(
+    length: int = 4, walks_per_node: int = 2, seed: int = 0
+) -> str:
+    """Oracle for the DeepWalk-style walk corpus (mirror of
+    kgx.operators.graphstats.random_walks): the step hash
+    md5_60(cur|walk_id|i|seed) mod out-degree indexes the SAME
+    list_sort'ed adjacency array (binary string order in both engines),
+    one unrolled CTE per step, so every walk matches element-for-element."""
+    chain, final = _random_walks_ctes(length, walks_per_node, seed)
     return f"""
 {_graph_edges_ctes()},
 {chain}
 SELECT start_label, walk_id, walk,
        CAST(len(walk) AS BIGINT) AS walk_len
-FROM w{length - 1}
+FROM {final}
+""".strip()
+
+
+def walk_skipgram_pairs_sql(
+    length: int = 4,
+    walks_per_node: int = 2,
+    seed: int = 0,
+    window: int = 2,
+) -> str:
+    """Oracle for windowed skip-gram pair counts over the walk corpus
+    (mirror of kgx.operators.graphstats.walk_skipgram_pairs): identical
+    in-row (i, j) window enumeration via list lambdas, then one count
+    aggregate."""
+    W = int(window)
+    chain, final = _random_walks_ctes(length, walks_per_node, seed)
+    lo = f"CASE WHEN i - {W} > 1 THEN i - {W} ELSE 1 END"
+    hi = f"CASE WHEN i + {W} < len(walk) THEN i + {W} ELSE len(walk) END"
+    return f"""
+{_graph_edges_ctes()},
+{chain},
+pairs AS (
+    SELECT unnest(flatten(list_transform(range(1, len(walk) + 1), i ->
+               list_transform(list_filter(range({lo}, ({hi}) + 1),
+                                          j -> j <> i),
+                              j -> {{'center': walk[i], 'context': walk[j]}}))))
+           AS p
+    FROM {final}
+)
+SELECT p.center AS center, p.context AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2
 """.strip()
 
 

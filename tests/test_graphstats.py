@@ -654,3 +654,49 @@ def test_random_walks_validates(spark):
     with pytest.raises(ValueError):
         graphstats.random_walks(
             _triples_df(spark, [("a", "b")]), walks_per_node=0)
+
+
+def _py_skipgram(walks, window=2):
+    out = {}
+    for walk in walks.values():
+        L = len(walk)
+        for i in range(L):
+            for j in range(max(0, i - window), min(L, i + window + 1)):
+                if j != i:
+                    key = (walk[i], walk[j])
+                    out[key] = out.get(key, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_walk_skipgram_matches_reference(spark, seed):
+    rng = random.Random(seed)
+    labels = [f"n{i}" for i in range(20)]
+    edges = [(u, v) for u, v in {(rng.choice(labels), rng.choice(labels))
+                                 for _ in range(60)} if u != v]
+    walks_df = graphstats.random_walks(
+        _triples_df(spark, edges), length=5, walks_per_node=2, seed=seed)
+    got = {(r.center, r.context): r.n_pairs
+           for r in graphstats.walk_skipgram_pairs(walks_df, window=2).collect()}
+    ref = _py_skipgram(
+        _py_random_walks(edges, length=5, walks_per_node=2, seed=seed),
+        window=2)
+    assert got == ref
+
+
+def test_walk_skipgram_laws(spark):
+    # one fixed 4-walk: pairs and counts are hand-checkable
+    import pandas as pd
+
+    walks = spark.createDataFrame(
+        pd.DataFrame({"start_label": ["a"], "walk_id": [0],
+                      "walk": [["a", "b", "a", "c"]], "walk_len": [4]})
+    )
+    got = {(r.center, r.context): r.n_pairs
+           for r in graphstats.walk_skipgram_pairs(walks, window=1).collect()}
+    # adjacent pairs only, multiplicity kept, symmetric by construction
+    assert got == {("a", "b"): 2, ("b", "a"): 2, ("a", "c"): 1, ("c", "a"): 1}
+    total = sum(got.values())
+    assert total == 2 * 3  # 2 * (L - 1) ordered adjacent pairs
+    with pytest.raises(ValueError):
+        graphstats.walk_skipgram_pairs(walks, window=0)

@@ -136,6 +136,12 @@ SECTIONS = [
      "reuses); the distinct edge list below is localCheckpointed so the "
      "extraction subtree runs once; frontier rows carry only labels and "
      "a ≤ length-string array."),
+    ("walk_skipgram_pairs",
+     "Round 5 (node2vec pair table): skip-gram windows enumerate IN-ROW "
+     "over each walk array (nested HOFs + one Generate — the "
+     "entity_cooccurrence stance, no self-join), then ONE map-side-"
+     "combined count aggregate; the only full-width exchange carries "
+     "pre-combined (center, context) rows."),
     ("unigram_surprisal",
      "Round 5 (corpus-statistics perplexity screen): ONE token explode "
      "feeds the vocab-sized count aggregate (1-row total broadcast back) "
