@@ -700,3 +700,47 @@ def test_walk_skipgram_laws(spark):
     assert total == 2 * 3  # 2 * (L - 1) ordered adjacent pairs
     with pytest.raises(ValueError):
         graphstats.walk_skipgram_pairs(walks, window=0)
+
+
+def test_run_embedding_prep_job_over_pipeline_output(spark, sf_dir, tmp_path):
+    """The embedding-prep job's tables agree with the operators run
+    directly over the same materialized triples."""
+    import sys
+
+    from kgx.plans import pipeline
+    from kgx.sources import corpus, docs as docs_src
+
+    graph_out = str(tmp_path / "graph")
+    docs = docs_src.spans_table(
+        corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
+    )
+    pipeline.run(
+        spark, docs, pipeline.PipelineConfig(out_dir=graph_out, n_buckets=8)
+    )
+
+    sys.path.insert(0, "jobs")
+    try:
+        import run_embedding_prep
+    finally:
+        sys.path.pop(0)
+    prep_out = str(tmp_path / "training")
+    rc = run_embedding_prep.main(
+        ["--graph", graph_out, "--out", prep_out,
+         "--walk-length", "4", "--walks-per-node", "2"]
+    )
+    assert rc == 0
+
+    triples = pipeline.read_output(spark, graph_out, "triples")
+    direct_walks = {(r.start_label, r.walk_id): list(r.walk)
+                    for r in graphstats.random_walks(
+                        triples, length=4, walks_per_node=2).collect()}
+    materialized = {(r.start_label, r.walk_id): list(r.walk)
+                    for r in spark.read.parquet(prep_out + "/walks").collect()}
+    assert materialized == direct_walks
+    pairs = {(r.center, r.context): r.n_pairs
+             for r in spark.read.parquet(prep_out + "/skipgram_pairs").collect()}
+    assert pairs and all(v >= 1 for v in pairs.values())
+    # every pair is backed by some walk window
+    tp = spark.read.parquet(prep_out + "/training_pairs")
+    assert tp.where("is_positive = 1").count() > 0
+    assert tp.where("is_positive = 0").count() > 0
