@@ -748,3 +748,90 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     return pairs.select("p.center", "p.context").groupBy(
         "center", "context"
     ).agg(F.count("*").cast("long").alias("n_pairs"))
+
+
+def transe_margin(
+    pairs: DataFrame, dim: int = 8, modulus: int = 1024
+) -> DataFrame:
+    """Per-predicate TransE energy audit of the KG-embedding training set
+    (Bordes et al. 2013): score every (subj, pred, obj, is_positive) row
+    from :func:`training_pairs` with the L1 energy
+    ``||e_s + e_p - e_o||_1`` under DETERMINISTIC hash-derived integer
+    embeddings, then aggregate positives vs negatives per predicate.  The
+    margin column (mean negative energy minus mean positive energy) is the
+    quantity a margin-loss trainer maximizes — at init (which hash
+    embeddings are: a reproducible untrained model) it sits near zero, and
+    the table is the epoch-zero baseline an embedding-training pipeline
+    logs before the first gradient step.
+
+    Embedding contract: entity/relation component ``d`` is
+    ``uh_d(md5_60(ns|label)) % modulus - modulus/2`` — the universal-hash
+    family of kgx.functions.hashing (one md5 per row per column, dim
+    components by integer arithmetic; entities and relations live in
+    disjoint ``e|`` / ``r|`` namespaces).  Pure integer math end-to-end,
+    so the DuckDB oracle reproduces every energy bit-for-bit.
+
+    Scale shape: ONE map-side-combined aggregate on the 16-value pred key
+    over a pure projection (3 md5 + 3·dim fused integer ops per row, no
+    HOF lambda — the hash columns are referenced ``dim`` times, which
+    keeps CollapseProject from inlining the md5s, SPARK-36718); nothing
+    but pre-combined (pred, counters) rows ever shuffle.  Composes
+    directly over :func:`training_pairs`' bounded plan.
+
+    Output: (pred, n_pos, n_neg, sum_pos_energy, sum_neg_energy,
+    mean_pos_energy, mean_neg_energy, margin) — one row per predicate;
+    means are toward-zero integer divisions, NULL when a side is empty.
+    """
+    from kgx.functions.hashing import minhash_derived, spark_md5_60
+
+    if dim < 1 or modulus < 2:
+        raise ValueError(f"bad embedding shape dim={dim} modulus={modulus}")
+    half = modulus // 2
+    hashed = pairs.select(
+        "pred",
+        "is_positive",
+        F.expr(spark_md5_60("concat('e|', subj)")).alias("hs"),
+        F.expr(spark_md5_60("concat('r|', pred)")).alias("hp"),
+        F.expr(spark_md5_60("concat('e|', obj)")).alias("ho"),
+    )
+
+    def comp(h: str, d: int) -> str:
+        return f"(({minhash_derived(h, d)}) % {modulus} - {half})"
+
+    energy = " + ".join(
+        f"abs({comp('hs', d)} + {comp('hp', d)} - {comp('ho', d)})"
+        for d in range(dim)
+    )
+    scored = hashed.select(
+        "pred",
+        "is_positive",
+        F.expr(f"cast({energy} as bigint)").alias("energy"),
+    )
+    pos = F.col("is_positive") == 1
+    agg = scored.groupBy("pred").agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(~pos, 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(F.when(pos, F.col("energy")).otherwise(0)).cast("long").alias(
+            "sum_pos_energy"
+        ),
+        F.sum(F.when(~pos, F.col("energy")).otherwise(0)).cast("long").alias(
+            "sum_neg_energy"
+        ),
+    )
+    return agg.select(
+        "pred",
+        "n_pos",
+        "n_neg",
+        "sum_pos_energy",
+        "sum_neg_energy",
+        F.expr(
+            "CASE WHEN n_pos = 0 THEN NULL ELSE sum_pos_energy div n_pos END"
+        ).cast("long").alias("mean_pos_energy"),
+        F.expr(
+            "CASE WHEN n_neg = 0 THEN NULL ELSE sum_neg_energy div n_neg END"
+        ).cast("long").alias("mean_neg_energy"),
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL "
+            "ELSE sum_neg_energy div n_neg - sum_pos_energy div n_pos END"
+        ).cast("long").alias("margin"),
+    )

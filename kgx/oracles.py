@@ -3060,3 +3060,60 @@ rhod AS (
 SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho
 FROM rhod GROUP BY bucket
 """.strip()
+
+
+def kg_transe_margin_sql(
+    dim: int = 8, modulus: int = 1024, k: int = 2, buckets: int = 64
+) -> str:
+    """Oracle for the per-predicate TransE energy audit (mirror of
+    kgx.operators.graphstats.transe_margin): the full training-pair oracle
+    nested as a CTE, the same md5-60 + universal-hash integer embedding
+    components, the same L1 energy sum, conditional aggregation per pred,
+    toward-zero ``//`` means (NULL-guarded like the Spark CASE)."""
+    from kgx.functions.hashing import minhash_derived
+
+    half = modulus // 2
+    hs = _duck_md5_60("concat('e|', subj)")
+    hp = _duck_md5_60("concat('r|', pred)")
+    ho = _duck_md5_60("concat('e|', obj)")
+
+    def comp(h: str, d: int) -> str:
+        return f"(({minhash_derived(h, d)}) % {modulus} - {half})"
+
+    energy = " + ".join(
+        f"abs({comp('hs', d)} + {comp('hp', d)} - {comp('ho', d)})"
+        for d in range(dim)
+    )
+    return f"""
+WITH tm_tp AS MATERIALIZED (
+    {kg_training_pairs_sql(k=k, buckets=buckets)}
+),
+tm_hashed AS (
+    SELECT pred, is_positive,
+           CAST({hs} AS BIGINT) AS hs,
+           CAST({hp} AS BIGINT) AS hp,
+           CAST({ho} AS BIGINT) AS ho
+    FROM tm_tp
+),
+tm_scored AS (
+    SELECT pred, is_positive, CAST({energy} AS BIGINT) AS energy
+    FROM tm_hashed
+),
+tm_agg AS (
+    SELECT pred,
+           CAST(sum(CASE WHEN is_positive = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN is_positive = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(sum(CASE WHEN is_positive = 1 THEN energy ELSE 0 END) AS BIGINT) AS sum_pos_energy,
+           CAST(sum(CASE WHEN is_positive = 0 THEN energy ELSE 0 END) AS BIGINT) AS sum_neg_energy
+    FROM tm_scored GROUP BY pred
+)
+SELECT pred, n_pos, n_neg, sum_pos_energy, sum_neg_energy,
+       CAST(CASE WHEN n_pos = 0 THEN NULL
+            ELSE sum_pos_energy // n_pos END AS BIGINT) AS mean_pos_energy,
+       CAST(CASE WHEN n_neg = 0 THEN NULL
+            ELSE sum_neg_energy // n_neg END AS BIGINT) AS mean_neg_energy,
+       CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE sum_neg_energy // n_neg - sum_pos_energy // n_pos
+            END AS BIGINT) AS margin
+FROM tm_agg
+""".strip()

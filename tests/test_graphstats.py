@@ -744,3 +744,92 @@ def test_run_embedding_prep_job_over_pipeline_output(spark, sf_dir, tmp_path):
     tp = spark.read.parquet(prep_out + "/training_pairs")
     assert tp.where("is_positive = 1").count() > 0
     assert tp.where("is_positive = 0").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# transe_margin: hash-embedding TransE energy audit
+# ---------------------------------------------------------------------------
+
+
+def _py_transe_margin(pairs, dim=8, modulus=1024):
+    """Driver-side reference: replay md5-60 + universal-hash embedding
+    components and the L1 energy per pair, aggregate per pred."""
+    from kgx.functions.hashing import MERSENNE31, _uh_coeffs
+
+    half = modulus // 2
+
+    def comp(h, d):
+        a, b = _uh_coeffs(d)
+        return ((a * (h % MERSENNE31) + b) % MERSENNE31) % modulus - half
+
+    agg = {}
+    for s, p, o, pos in pairs:
+        hs, hp, ho = _md5_60("e|" + s), _md5_60("r|" + p), _md5_60("e|" + o)
+        e = sum(abs(comp(hs, d) + comp(hp, d) - comp(ho, d)) for d in range(dim))
+        n_pos, n_neg, sp, sn = agg.get(p, (0, 0, 0, 0))
+        agg[p] = (
+            (n_pos + 1, n_neg, sp + e, sn) if pos else (n_pos, n_neg + 1, sp, sn + e)
+        )
+    out = {}
+    for p, (n_pos, n_neg, sp, sn) in agg.items():
+        mp = sp // n_pos if n_pos else None
+        mn = sn // n_neg if n_neg else None
+        out[p] = (
+            n_pos, n_neg, sp, sn, mp, mn,
+            (mn - mp) if n_pos and n_neg else None,
+        )
+    return out
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        list(pairs), "subj string, pred string, obj string, is_positive long"
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_transe_margin_matches_reference(spark, seed):
+    rng = random.Random(seed)
+    labels = [f"n{i}" for i in range(12)]
+    preds = ["works_at", "located_in", "founded"]
+    pairs = [
+        (rng.choice(labels), rng.choice(preds), rng.choice(labels),
+         rng.randint(0, 1))
+        for _ in range(80)
+    ]
+    # a pred with ONLY positives exercises the NULL mean/margin guard
+    pairs += [(labels[0], "pos_only", labels[1], 1)]
+    got = {
+        r.pred: (r.n_pos, r.n_neg, r.sum_pos_energy, r.sum_neg_energy,
+                 r.mean_pos_energy, r.mean_neg_energy, r.margin)
+        for r in graphstats.transe_margin(_pairs_df(spark, pairs)).collect()
+    }
+    assert got == _py_transe_margin(pairs)
+    assert got["pos_only"][5] is None and got["pos_only"][6] is None
+
+
+def test_transe_margin_composes_over_training_pairs(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    tp = graphstats.training_pairs(_triples_df(spark, edges), k=2, buckets=8)
+    tp_rows = [(r.subj, r.pred, r.obj, r.is_positive) for r in tp.collect()]
+    got = {
+        r.pred: (r.n_pos, r.n_neg, r.sum_pos_energy, r.sum_neg_energy,
+                 r.mean_pos_energy, r.mean_neg_energy, r.margin)
+        for r in graphstats.transe_margin(tp).collect()
+    }
+    assert got == _py_transe_margin(tp_rows)
+    # the single 'rel' pred aggregates every distinct positive exactly once
+    assert got["rel"][0] == len(set(edges))
+
+
+def test_transe_margin_energy_bound_and_determinism(spark):
+    # |comp| <= modulus/2, so energy <= dim * 3 * modulus/2; and two runs
+    # over the same input are bit-identical (pure hash arithmetic).
+    pairs = [("x", "p", "y", 1), ("x", "p", "z", 0), ("y", "q", "z", 1)]
+    df = _pairs_df(spark, pairs)
+    a = sorted(map(tuple, graphstats.transe_margin(df, dim=4, modulus=64).collect()))
+    b = sorted(map(tuple, graphstats.transe_margin(df, dim=4, modulus=64).collect()))
+    assert a == b
+    for row in a:
+        for v in (row[3], row[2]):  # sum energies
+            assert 0 <= v <= 3 * (4 * 3 * 32)
