@@ -207,3 +207,113 @@ def cluster_stats(assignments: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+def _pq_sub_table(base: DataFrame, m: int) -> DataFrame:
+    """(vec_id, q) → one row per (vec_id, subspace) carrying the dim/m
+    subvector.  Dim-divisibility is enforced LOUDLY (the bloom-guard
+    stance, kgx.operators.sketches): a silently truncated tail would make
+    codes incomparable across corpora with different dims."""
+    guarded = (
+        f"CASE WHEN size(q) % {m} = 0 THEN q ELSE "
+        f"cast(raise_error(concat('pq_codes: embedding dim ', "
+        f"cast(size(q) as string), ' not divisible by m={m}')) "
+        f"as array<bigint>) END"
+    )
+    return base.select("vec_id", F.expr(guarded).alias("q")).select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct("
+                f"cast(s as int) AS subspace, "
+                f"slice(q, s * (size(q) div {m}) + 1, size(q) div {m}) AS sq))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.subspace", "p.sq")
+
+
+_PQ_L2 = (
+    "aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin-L2 code per (vec_id, subspace); ties → min code.  The
+    centroid side is m·k rows — always broadcast — and the argmin is a
+    ``min_by`` AGGREGATE, not a window: rows for one (vec_id, subspace)
+    key are emitted consecutively by the broadcast join, so map-side
+    combine collapses the k candidates to one row before anything
+    shuffles (a window would sort-shuffle the full scored table)."""
+    scored = sub.join(F.broadcast(cents), "subspace").select(
+        "vec_id",
+        "subspace",
+        "code",
+        "sq",
+        F.expr(_PQ_L2).alias("sq_dist"),
+    )
+    return scored.groupBy("vec_id", "subspace").agg(
+        F.expr(
+            "min_by(struct(code, sq_dist, sq), struct(sq_dist, code))"
+        ).alias("best")
+    ).select("vec_id", "subspace", "best.code", "best.sq_dist", "best.sq")
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """Per-(subspace, code) truncated integer mean of member subvectors —
+    the _update shape with subspace in the key; the shuffle carries only
+    m·k·(dim/m) pre-combined (subspace, code, pos) rows."""
+    dims = assigned.select("subspace", "code", F.posexplode("sq").alias("pos", "v"))
+    means = dims.groupBy("subspace", "code", "pos").agg(
+        F.expr("sum(v) DIV count(*)").alias("c")
+    )
+    return means.groupBy("subspace", "code").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+        ).alias("cq")
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = 8, k: int = 16, rounds: int = 2
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011) over
+    ``(vec_id, embedding array<float>)`` — the compression half of the
+    IVF-PQ architecture that makes billion-vector ANN fit in memory:
+    split each vector into ``m`` subspaces of dim/m components, run an
+    independent integer-arithmetic Lloyd's k-means in each, and emit each
+    vector's nearest code per subspace (``m·log2(k)`` bits per vector;
+    dim/m must divide evenly, enforced loudly).  Composes beside
+    :func:`kmeans_assign` (the coarse IVF quantizer) and
+    kgx.operators.similarity.ivf_topk.
+
+    Determinism contract (the kmeans_assign one, with L2 instead of
+    cosine — the PQ-standard metric, and zero vectors stay codable):
+    1e-4 fixed-point quantization, exact bigint squared-L2, truncated
+    integer centroid means, argmin ties → smallest code; initial codes
+    are the first ``k`` vectors' subvectors (train-on-sample-offline
+    stance of kmeans_assign).  Pure integer math end-to-end → the DuckDB
+    oracle reproduces every code and distance bit-for-bit.
+
+    Scale shape: the subvector table is m rows per vector but carries
+    dim/m components each — total payload equals the corpus, never m×
+    it; each assign broadcasts the m·k-row codebook and collapses the k
+    candidates per key map-side (min_by aggregate, see
+    :func:`_pq_assign`); each update shuffles only m·k·(dim/m)
+    pre-combined rows.  Empty codes drop out (classic Lloyd).
+
+    Output: (vec_id, subspace, code, sq_dist) — m rows per vector with
+    the exact quantized squared reconstruction distance.
+    """
+    if m < 1 or k < 1 or rounds < 0:
+        raise ValueError(f"bad PQ shape m={m} k={k} rounds={rounds}")
+    base = quantized(embeddings)
+    sub = _pq_sub_table(base, m)
+    cents = sub.where(F.col("vec_id") < k).select(
+        "subspace", F.col("vec_id").alias("code"), F.col("sq").alias("cq")
+    )
+    for _ in range(rounds):
+        cents = _pq_update(_pq_assign(sub, cents))
+    return _pq_assign(sub, cents).select(
+        "vec_id", "subspace", "code", "sq_dist"
+    )

@@ -3117,3 +3117,62 @@ SELECT pred, n_pos, n_neg, sum_pos_energy, sum_neg_energy,
             END AS BIGINT) AS margin
 FROM tm_agg
 """.strip()
+
+
+def pq_codes_sql(m: int = 8, k: int = 16, rounds: int = 2) -> str:
+    """Oracle for product-quantization codes (mirror of
+    kgx.operators.clustering.pq_codes): same 1e-4 quantization, same
+    subvector slicing, per-subspace Lloyd rounds UNROLLED into chained
+    CTEs (the emb_kmeans_sql stance), exact bigint squared-L2, argmin
+    ties → min code, toward-zero ``//`` centroid means — codes and
+    distances match Spark bit-for-bit."""
+    l2 = (
+        "CAST(list_sum(list_transform(range(1, len(b.sq) + 1), "
+        "i -> (b.sq[i] - c.cq[i]) * (b.sq[i] - c.cq[i]))) AS BIGINT)"
+    )
+    ctes = [
+        "pq_qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q "
+        "FROM embeddings)",
+        f"pq_sub AS MATERIALIZED (\n"
+        f"    SELECT vec_id, CAST(s AS INT) AS subspace,\n"
+        f"           list_slice(q, s * (len(q) // {m}) + 1,\n"
+        f"                      (s + 1) * (len(q) // {m})) AS sq\n"
+        f"    FROM pq_qv, (SELECT unnest(range({m})) AS s))",
+        f"pq_c0 AS (SELECT subspace, vec_id AS code, sq AS cq\n"
+        f"          FROM pq_sub WHERE vec_id < {k})",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+pq_s{r} AS (
+    SELECT b.vec_id, b.subspace, c.code, b.sq, {l2} AS sq_dist,
+           row_number() OVER (
+               PARTITION BY b.vec_id, b.subspace
+               ORDER BY {l2}, c.code) AS rn
+    FROM pq_sub b JOIN pq_c{r} c USING (subspace)
+),
+pq_a{r} AS (SELECT vec_id, subspace, code, sq FROM pq_s{r} WHERE rn = 1),
+pq_m{r} AS (
+    SELECT subspace, code, pos, sum(v) // count(*) AS c
+    FROM (SELECT subspace, code, unnest(sq) AS v,
+                 unnest(range(len(sq))) AS pos
+          FROM pq_a{r})
+    GROUP BY 1, 2, 3
+),
+pq_c{r + 1} AS (
+    SELECT subspace, code, list(c ORDER BY pos) AS cq
+    FROM pq_m{r} GROUP BY 1, 2
+)
+""".strip())
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+pq_fin AS (
+    SELECT b.vec_id, b.subspace, c.code, {l2} AS sq_dist,
+           row_number() OVER (
+               PARTITION BY b.vec_id, b.subspace
+               ORDER BY {l2}, c.code) AS rn
+    FROM pq_sub b JOIN pq_c{rounds} c USING (subspace)
+)
+SELECT vec_id, subspace, code, sq_dist FROM pq_fin WHERE rn = 1
+""".strip()

@@ -187,3 +187,128 @@ def test_kmeans_ignores_zero_vectors(spark):
     )
     out = clustering.kmeans_assign(df, k=2, rounds=1).collect()
     assert {r.vec_id for r in out} == {0, 2}  # the zero vector drops
+
+
+# ---------------------------------------------------------------------------
+# pq_codes: product quantization
+# ---------------------------------------------------------------------------
+
+
+def _py_pq(rows, m, k, rounds):
+    """Pure-Python PQ reference: same quantization, per-subspace Lloyd's
+    with exact integer squared-L2 and toward-zero centroid means."""
+
+    def _half_up(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    vecs = {
+        vec_id: [_half_up(float(x) * QUANT) for x in embedding]
+        for vec_id, embedding in rows
+    }
+    dim = len(next(iter(vecs.values())))
+    assert dim % m == 0
+    dsub = dim // m
+    subs = {
+        (vid, s): q[s * dsub:(s + 1) * dsub]
+        for vid, q in vecs.items()
+        for s in range(m)
+    }
+    cents = {
+        (s, vid): list(subs[(vid, s)])
+        for vid in sorted(vecs)
+        if vid < k
+        for s in range(m)
+    }
+
+    def assign(cents):
+        out = {}
+        for (vid, s), sq in subs.items():
+            best = None
+            for (cs, code) in sorted(cents):
+                if cs != s:
+                    continue
+                c = cents[(cs, code)]
+                d = sum((a - b) * (a - b) for a, b in zip(sq, c))
+                if best is None or (d, code) < best:
+                    best = (d, code)
+            out[(vid, s)] = best
+        return out
+
+    for _ in range(rounds):
+        a = assign(cents)
+        nxt = {}
+        for (s, code) in {(s, b[1]) for (v, s), b in a.items()}:
+            members = [
+                subs[(vid, sub)] for (vid, sub), b in a.items()
+                if sub == s and b[1] == code
+            ]
+            n = len(members)
+            nxt[(s, code)] = [
+                t // n if t >= 0 else -((-t) // n)
+                for t in (sum(col) for col in zip(*members))
+            ]
+        cents = nxt
+    return assign(cents)
+
+
+def test_pq_codes_matches_pure_python(spark, emb):
+    rows = [(r.vec_id, r.embedding) for r in emb.select("vec_id", "embedding").collect()]
+    expect = _py_pq(rows, m=8, k=16, rounds=2)
+    got = {
+        (r.vec_id, r.subspace): (r.sq_dist, r.code)
+        for r in clustering.pq_codes(emb, m=8, k=16, rounds=2).collect()
+    }
+    assert got == expect
+
+
+def test_pq_codes_shape_and_zero_vectors(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [
+                    [1.0, 0.0, 0.0, 1.0],
+                    [0.0, 0.0, 0.0, 0.0],  # zero vector stays codable (L2)
+                    [0.5, 0.5, -0.5, 0.5],
+                    [1.0, 0.1, 0.0, 0.9],
+                ],
+            }
+        )
+    )
+    out = clustering.pq_codes(df, m=2, k=2, rounds=1).collect()
+    assert len(out) == 4 * 2  # m rows per vector, zero vector INCLUDED
+    assert all(r.sq_dist >= 0 for r in out)
+    # the zero vector's nearest code exists and its distance is exact
+    z = [r for r in out if r.vec_id == 1]
+    assert len(z) == 2
+
+
+def test_pq_codes_reconstruction_improves_with_rounds(spark, emb):
+    """Lloyd never worsens total squared reconstruction error."""
+    e0 = clustering.pq_codes(emb, m=8, k=16, rounds=0).agg(
+        F.sum("sq_dist")
+    ).first()[0]
+    e2 = clustering.pq_codes(emb, m=8, k=16, rounds=2).agg(
+        F.sum("sq_dist")
+    ).first()[0]
+    assert e2 <= e0
+
+
+def test_pq_codes_rejects_indivisible_dim(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 2.0, 3.0]]})
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        clustering.pq_codes(df, m=2, k=1, rounds=0).collect()
+
+
+def test_pq_codes_plan_no_unbroadcast_cartesian(spark, emb):
+    plan = (
+        clustering.pq_codes(emb, m=8, k=16, rounds=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
