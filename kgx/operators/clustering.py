@@ -307,13 +307,85 @@ def pq_codes(
     """
     if m < 1 or k < 1 or rounds < 0:
         raise ValueError(f"bad PQ shape m={m} k={k} rounds={rounds}")
-    base = quantized(embeddings)
-    sub = _pq_sub_table(base, m)
+    sub = _pq_sub_table(quantized(embeddings), m)
+    return _pq_assign(sub, _pq_train(sub, k, rounds)).select(
+        "vec_id", "subspace", "code", "sq_dist"
+    )
+
+
+def _pq_train(sub: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Per-subspace codebook: first-k-subvector init, ``rounds`` Lloyd
+    iterations.  Output: (subspace, code, cq)."""
     cents = sub.where(F.col("vec_id") < k).select(
         "subspace", F.col("vec_id").alias("code"), F.col("sq").alias("cq")
     )
     for _ in range(rounds):
         cents = _pq_update(_pq_assign(sub, cents))
-    return _pq_assign(sub, cents).select(
-        "vec_id", "subspace", "code", "sq_dist"
+    return cents
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    rounds: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k search (ADC, Jégou et al. 2011) —
+    the retrieval half of IVF-PQ, composing over :func:`pq_codes`'
+    codebook: queries (``vec_id < n_queries``, the cosine_topk
+    convention) compute an m·k_codes lookup table of exact subspace
+    distances to the codebook, and every database vector is scored by
+    summing LUT entries for its m codes — the query never touches raw
+    database vectors, which is what makes billion-vector search fit in
+    memory.  Approximate by construction; :func:`~kgx.operators.
+    similarity.cosine_topk` is the exact baseline beside it.
+
+    Scale shape: the LUT (n_queries·m·k_codes rows) is BROADCAST onto
+    the compressed codes table, rows for one vector fan out to
+    n_queries·m and collapse map-side (one sum aggregate keyed on
+    (query_id, vec_id) — the shuffle carries only pre-combined score
+    rows); final top-k is a per-query window over k-bounded rows.
+    ``materialize`` (default on) pins the m·k_codes codebook with one
+    eager ``localCheckpoint``: it feeds TWO consumers (the codes-assign
+    broadcast and the LUT join), and a lazy plan would re-run the whole
+    Lloyd chain per consumer (the multi-branch stance of
+    common_neighbor_candidates / training_pairs).
+
+    Output: (query_id, rank int, vec_id, adc_dist) — k rows per query,
+    ascending exact-integer ADC distance, ties → min vec_id, self
+    excluded.
+    """
+    if n_queries < 1 or k < 1:
+        raise ValueError(f"bad search shape n_queries={n_queries} k={k}")
+    sub = _pq_sub_table(quantized(embeddings), m)
+    cents = _pq_train(sub, k_codes, rounds)
+    if materialize:
+        cents = cents.localCheckpoint(eager=True)
+    codes = _pq_assign(sub, cents).select("vec_id", "subspace", "code")
+    qsub = sub.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "subspace", F.col("sq").alias("qsq")
+    )
+    lut = qsub.join(cents, "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.expr(
+            "aggregate(zip_with(qsq, cq, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("lut_dist"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_dist").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "vec_id", "adc_dist")
     )

@@ -3119,17 +3119,20 @@ FROM tm_agg
 """.strip()
 
 
-def pq_codes_sql(m: int = 8, k: int = 16, rounds: int = 2) -> str:
-    """Oracle for product-quantization codes (mirror of
-    kgx.operators.clustering.pq_codes): same 1e-4 quantization, same
-    subvector slicing, per-subspace Lloyd rounds UNROLLED into chained
-    CTEs (the emb_kmeans_sql stance), exact bigint squared-L2, argmin
-    ties → min code, toward-zero ``//`` centroid means — codes and
-    distances match Spark bit-for-bit."""
-    l2 = (
-        "CAST(list_sum(list_transform(range(1, len(b.sq) + 1), "
-        "i -> (b.sq[i] - c.cq[i]) * (b.sq[i] - c.cq[i]))) AS BIGINT)"
+def _pq_l2(a: str, b: str) -> str:
+    """Exact bigint squared-L2 between two equal-length lists."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
     )
+
+
+def _pq_ctes(m: int, k: int, rounds: int) -> str:
+    """Shared PQ CTE chain (quantize → subvectors → unrolled per-subspace
+    Lloyd rounds → final assignment ``pq_fin``) — the training/assignment
+    core of pq_codes_sql and pq_topk_sql; the emb_kmeans_sql unroll
+    stance with L2 instead of cosine."""
+    l2 = _pq_l2("b.sq", "c.cq")
     ctes = [
         "pq_qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q "
@@ -3164,9 +3167,7 @@ pq_c{r + 1} AS (
     FROM pq_m{r} GROUP BY 1, 2
 )
 """.strip())
-    joined = ",\n".join(ctes)
-    return f"""
-WITH {joined},
+    ctes.append(f"""
 pq_fin AS (
     SELECT b.vec_id, b.subspace, c.code, {l2} AS sq_dist,
            row_number() OVER (
@@ -3174,5 +3175,60 @@ pq_fin AS (
                ORDER BY {l2}, c.code) AS rn
     FROM pq_sub b JOIN pq_c{rounds} c USING (subspace)
 )
+""".strip())
+    return ",\n".join(ctes)
+
+
+def pq_codes_sql(m: int = 8, k: int = 16, rounds: int = 2) -> str:
+    """Oracle for product-quantization codes (mirror of
+    kgx.operators.clustering.pq_codes): same 1e-4 quantization, same
+    subvector slicing, per-subspace Lloyd rounds UNROLLED into chained
+    CTEs (the emb_kmeans_sql stance), exact bigint squared-L2, argmin
+    ties → min code, toward-zero ``//`` centroid means — codes and
+    distances match Spark bit-for-bit."""
+    return f"""
+WITH {_pq_ctes(m, k, rounds)}
 SELECT vec_id, subspace, code, sq_dist FROM pq_fin WHERE rn = 1
+""".strip()
+
+
+def pq_topk_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    rounds: int = 2,
+) -> str:
+    """Oracle for PQ asymmetric-distance top-k (mirror of
+    kgx.operators.clustering.pq_topk): the shared PQ chain, the same
+    query-subvector × codebook LUT of exact subspace L2 distances, score
+    = sum of LUT entries over each vector's codes (self excluded), rank
+    ascending with vec_id tie-break."""
+    return f"""
+WITH {_pq_ctes(m, k_codes, rounds)},
+pqt_codes AS (SELECT vec_id, subspace, code FROM pq_fin WHERE rn = 1),
+pqt_q AS (
+    SELECT vec_id AS query_id, subspace, sq AS qsq
+    FROM pq_sub WHERE vec_id < {n_queries}
+),
+pqt_lut AS (
+    SELECT q.query_id, q.subspace, c.code, {_pq_l2("q.qsq", "c.cq")} AS lut_dist
+    FROM pqt_q q JOIN pq_c{rounds} c USING (subspace)
+),
+pqt_adc AS (
+    SELECT l.query_id, t.vec_id, CAST(sum(l.lut_dist) AS BIGINT) AS adc_dist
+    FROM pqt_codes t
+    JOIN pqt_lut l ON l.subspace = t.subspace AND l.code = t.code
+    WHERE t.vec_id <> l.query_id
+    GROUP BY 1, 2
+),
+pqt_ranked AS (
+    SELECT query_id, vec_id, adc_dist,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dist, vec_id) AS rank
+    FROM pqt_adc
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dist
+FROM pqt_ranked WHERE rank <= {k}
 """.strip()

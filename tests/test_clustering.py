@@ -312,3 +312,96 @@ def test_pq_codes_plan_no_unbroadcast_cartesian(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def _py_pq_topk(rows, n_queries, k, m, k_codes, rounds):
+    """ADC reference composed over _py_pq's trained state: rebuild the
+    codebook + assignments, LUT per query, sum over each vector's codes."""
+
+    def _half_up(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    vecs = {
+        vec_id: [_half_up(float(x) * QUANT) for x in embedding]
+        for vec_id, embedding in rows
+    }
+    dim = len(next(iter(vecs.values())))
+    dsub = dim // m
+    subs = {
+        (vid, s): q[s * dsub:(s + 1) * dsub]
+        for vid, q in vecs.items()
+        for s in range(m)
+    }
+    assigned = _py_pq(rows, m, k_codes, rounds)  # (vid, s) -> (dist, code)
+    # rebuild the final codebook the same way the final assign saw it
+    cents = {
+        (s, vid): list(subs[(vid, s)]) for vid in sorted(vecs) if vid < k_codes
+        for s in range(m)
+    }
+    for _ in range(rounds):
+        a = {}
+        for (vid, s), sq in subs.items():
+            best = None
+            for (cs, code) in sorted(cents):
+                if cs != s:
+                    continue
+                c = cents[(cs, code)]
+                d = sum((x - y) * (x - y) for x, y in zip(sq, c))
+                if best is None or (d, code) < best:
+                    best = (d, code)
+            a[(vid, s)] = best
+        nxt = {}
+        for (s, code) in {(s, b[1]) for (v, s), b in a.items()}:
+            members = [subs[(vid, sub)] for (vid, sub), b in a.items()
+                       if sub == s and b[1] == code]
+            n = len(members)
+            nxt[(s, code)] = [
+                t // n if t >= 0 else -((-t) // n)
+                for t in (sum(col) for col in zip(*members))
+            ]
+        cents = nxt
+    out = {}
+    for qid in range(n_queries):
+        if qid not in vecs:
+            continue
+        scores = []
+        for vid in vecs:
+            if vid == qid:
+                continue
+            d = 0
+            for s in range(m):
+                code = assigned[(vid, s)][1]
+                c = cents[(s, code)]
+                qsq = subs[(qid, s)]
+                d += sum((x - y) * (x - y) for x, y in zip(qsq, c))
+            scores.append((d, vid))
+        scores.sort()
+        out[qid] = [(r + 1, vid, d) for r, (d, vid) in enumerate(scores[:k])]
+    return out
+
+
+def test_pq_topk_matches_pure_python(spark, emb):
+    small = emb.where("vec_id < 60")
+    rows = [(r.vec_id, r.embedding) for r in small.select("vec_id", "embedding").collect()]
+    expect = _py_pq_topk(rows, n_queries=4, k=3, m=4, k_codes=8, rounds=1)
+    got = {}
+    for r in clustering.pq_topk(
+        small, n_queries=4, k=3, m=4, k_codes=8, rounds=1
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.adc_dist))
+    got = {q: sorted(v) for q, v in got.items()}
+    assert got == expect
+
+
+def test_pq_topk_shape_laws(spark, emb):
+    out = clustering.pq_topk(emb, n_queries=5, k=4).collect()
+    by_q = {}
+    for r in out:
+        assert r.vec_id != r.query_id  # self excluded
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc_dist))
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == [1, 2, 3, 4]
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists) and all(d >= 0 for d in dists)
