@@ -12,9 +12,11 @@ consumes::
 Outputs: ``<out>/walks`` (start_label, walk_id, walk, walk_len — the
 deterministic DeepWalk corpus, reproducible by (seed, walk_id)),
 ``<out>/skipgram_pairs`` (center, context, n_pairs — windowed pair
-counts, the node2vec co-occurrence table) and ``<out>/training_pairs``
-(subj, pred, obj, is_positive — the filtered TransE contrastive set).
-Prints one JSON metrics line.
+counts, the node2vec co-occurrence table), ``<out>/training_pairs``
+(subj, pred, obj, is_positive — the filtered TransE contrastive set)
+and ``<out>/transe_margin`` (the epoch-zero per-predicate energy audit
+a trainer logs before its first gradient step, computed from the
+training_pairs table it just wrote).  Prints one JSON metrics line.
 """
 
 from __future__ import annotations
@@ -37,6 +39,9 @@ def main(argv=None) -> int:
                    help="negatives per distinct triple (0 = skip the "
                         "training_pairs table)")
     p.add_argument("--negatives-buckets", type=int, default=64)
+    p.add_argument("--embedding-dim", type=int, default=8,
+                   help="hash-embedding dims for the transe_margin audit")
+    p.add_argument("--embedding-modulus", type=int, default=1024)
     p.add_argument("--master", default=None, help="override (sandbox runs)")
     args = p.parse_args(argv)
 
@@ -69,6 +74,13 @@ def main(argv=None) -> int:
         graphstats.training_pairs(
             triples, k=args.negatives_k, buckets=args.negatives_buckets
         ).write.mode("overwrite").parquet(args.out + "/training_pairs")
+        # epoch-zero audit FROM the table just written (never re-deriving
+        # the contrastive set — the read_output stance this job opens with)
+        graphstats.transe_margin(
+            spark.read.parquet(args.out + "/training_pairs"),
+            dim=args.embedding_dim,
+            modulus=args.embedding_modulus,
+        ).write.mode("overwrite").parquet(args.out + "/transe_margin")
 
     walk_stats = walks.agg(
         F.count("*").alias("n"), F.sum("walk_len").alias("tokens")
@@ -88,6 +100,11 @@ def main(argv=None) -> int:
         "skipgram_pair_occurrences": int(pair_stats["occ"]),
         "training_pairs": (
             int(spark.read.parquet(args.out + "/training_pairs").count())
+            if args.negatives_k
+            else 0
+        ),
+        "transe_preds": (
+            int(spark.read.parquet(args.out + "/transe_margin").count())
             if args.negatives_k
             else 0
         ),

@@ -744,6 +744,13 @@ def test_run_embedding_prep_job_over_pipeline_output(spark, sf_dir, tmp_path):
     tp = spark.read.parquet(prep_out + "/training_pairs")
     assert tp.where("is_positive = 1").count() > 0
     assert tp.where("is_positive = 0").count() > 0
+    # the epoch-zero audit agrees with transe_margin run over the
+    # materialized contrastive set directly
+    tm = {r.pred: (r.n_pos, r.n_neg, r.margin)
+          for r in spark.read.parquet(prep_out + "/transe_margin").collect()}
+    direct = {r.pred: (r.n_pos, r.n_neg, r.margin)
+              for r in graphstats.transe_margin(tp).collect()}
+    assert tm == direct and tm
 
 
 # ---------------------------------------------------------------------------
