@@ -389,3 +389,105 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int"), "vec_id", "adc_dist")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    rounds: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Full IVF-PQ approximate search (Jégou et al. 2011) — the composed
+    billion-vector architecture: the coarse IVF quantizer
+    (kgx.operators.similarity.assign_cells, max-dot cells over the first
+    ``n_centroids`` vectors) restricts each query to its ``nprobe`` best
+    cells, and candidates within those cells are ranked by PQ
+    asymmetric distance (:func:`pq_topk`'s broadcast LUT over
+    :func:`pq_codes`' compressed codes).  Non-residual PQ variant (codes
+    encode the full vector, not the cell residual) — the simpler of the
+    two standard IVF-PQ encodings; per-query work is
+    O(N·nprobe/C · m) LUT additions instead of :func:`pq_topk`'s
+    O(N·m), and the raw corpus is never touched after indexing.
+
+    Scale shape: index side = the IVF cell table plus the compressed
+    codes table (at 100 TB both are written partitioned BY CELL so the
+    candidate join below is partition-local); query side = two broadcast
+    lookups (centroids for probes, LUT for scoring).  The candidate →
+    codes join is the only corpus-scale shuffle (AQE-decided, keyed on
+    vec_id); scores collapse map-side before the final per-query top-k
+    window.  ``materialize`` pins the trained codebook once for its two
+    consumers (the pq_topk stance).
+
+    Output: (query_id, rank int, vec_id, adc_dist) — ascending ADC
+    distance over probed-cell candidates only, ties → min vec_id, self
+    excluded; recall vs :func:`pq_topk` is bounded by the probe set
+    exactly as ann_ivf_topk's is vs ann_topk.
+    """
+    from kgx.operators.similarity import assign_cells, quantized as _q
+
+    if nprobe < 1 or n_centroids < 1:
+        raise ValueError(f"bad IVF shape n_centroids={n_centroids} nprobe={nprobe}")
+    base = _q(embeddings).where(F.col("nrm") > 0)
+    cells = assign_cells(embeddings, n_centroids).select("vec_id", "cell")
+    cents = base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+    qs = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cdot"), F.asc("cell")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cell",
+            F.expr(
+                "aggregate(zip_with(qq, cq, (x, y) -> x * y), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("cdot"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    sub = _pq_sub_table(quantized(embeddings), m)
+    cents_pq = _pq_train(sub, k_codes, rounds)
+    if materialize:
+        cents_pq = cents_pq.localCheckpoint(eager=True)
+    codes = _pq_assign(sub, cents_pq).select("vec_id", "subspace", "code")
+    qsub = sub.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "subspace", F.col("sq").alias("qsq")
+    )
+    lut = qsub.join(cents_pq, "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.expr(
+            "aggregate(zip_with(qsq, cq, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("lut_dist"),
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_dist").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "vec_id", "adc_dist")
+    )

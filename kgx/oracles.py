@@ -3232,3 +3232,72 @@ pqt_ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dist
 FROM pqt_ranked WHERE rank <= {k}
 """.strip()
+
+
+def ann_ivfpq_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    rounds: int = 2,
+) -> str:
+    """Oracle for composed IVF-PQ search (mirror of
+    kgx.operators.clustering.ivf_pq_topk): the ann_ivf_sql coarse
+    quantizer CTEs (max-dot cells + nprobe probes, nrm>0 base) joined
+    with the shared PQ chain's codes and the ADC lookup table — candidate
+    set restricted to probed cells, ranked by summed subspace L2."""
+    cdot_v = _DUCK_DOT.format(a="base.q", b="c.q")
+    cdot_q = _DUCK_DOT.format(a="qs.q", b="c.q")
+    return f"""
+WITH {_QUANT_CTES},
+cents AS (SELECT vec_id AS cell, q FROM base WHERE vec_id < {n_centroids}),
+cell_scored AS (
+    SELECT base.vec_id, c.cell, {cdot_v} AS cdot,
+           row_number() OVER (PARTITION BY base.vec_id
+                              ORDER BY {cdot_v} DESC, c.cell) AS rn
+    FROM base CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, cell FROM cell_scored WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, q FROM base WHERE vec_id < {n_queries}),
+probe_scored AS (
+    SELECT qs.query_id, c.cell, {cdot_q} AS cdot,
+           row_number() OVER (PARTITION BY qs.query_id
+                              ORDER BY {cdot_q} DESC, c.cell) AS rn
+    FROM qs CROSS JOIN cents c
+),
+pr AS (SELECT query_id, cell FROM probe_scored WHERE rn <= {nprobe}),
+{_pq_ctes(m, k_codes, rounds)},
+ivfpq_codes AS (SELECT vec_id, subspace, code FROM pq_fin WHERE rn = 1),
+ivfpq_q AS (
+    SELECT vec_id AS query_id, subspace, sq AS qsq
+    FROM pq_sub WHERE vec_id < {n_queries}
+),
+ivfpq_lut AS (
+    SELECT q.query_id, q.subspace, c.code, {_pq_l2("q.qsq", "c.cq")} AS lut_dist
+    FROM ivfpq_q q JOIN pq_c{rounds} c USING (subspace)
+),
+ivfpq_cand AS (
+    SELECT pr.query_id, cells.vec_id
+    FROM pr JOIN cells USING (cell)
+    WHERE cells.vec_id <> pr.query_id
+),
+ivfpq_adc AS (
+    SELECT c.query_id, c.vec_id, CAST(sum(l.lut_dist) AS BIGINT) AS adc_dist
+    FROM ivfpq_cand c
+    JOIN ivfpq_codes t ON t.vec_id = c.vec_id
+    JOIN ivfpq_lut l ON l.query_id = c.query_id
+                    AND l.subspace = t.subspace AND l.code = t.code
+    GROUP BY 1, 2
+),
+ivfpq_ranked AS (
+    SELECT query_id, vec_id, adc_dist,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dist, vec_id) AS rank
+    FROM ivfpq_adc
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dist
+FROM ivfpq_ranked WHERE rank <= {k}
+""".strip()

@@ -405,3 +405,77 @@ def test_pq_topk_shape_laws(spark, emb):
         assert [r for r, _ in rows] == [1, 2, 3, 4]
         dists = [d for _, d in rows]
         assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+def _py_ivfpq_topk(rows, n_queries, k, n_centroids, nprobe, m, k_codes, rounds):
+    """Composed reference: python coarse quantizer (argmax dot, nrm>0,
+    ties -> min cell) restricting _py_pq_topk-style ADC scoring."""
+
+    def _half_up(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    vecs = {
+        vec_id: [_half_up(float(x) * QUANT) for x in embedding]
+        for vec_id, embedding in rows
+    }
+    live = {vid: q for vid, q in vecs.items() if sum(v * v for v in q) > 0}
+    cents = {vid: live[vid] for vid in sorted(live) if vid < n_centroids}
+
+    def argcells(q, n):
+        scored = sorted(
+            ((-sum(a * b for a, b in zip(q, c)), cid) for cid, c in cents.items())
+        )
+        return [cid for _, cid in scored[:n]]
+
+    cells = {vid: argcells(q, 1)[0] for vid, q in live.items()}
+    probes = {qid: set(argcells(live[qid], nprobe))
+              for qid in range(n_queries) if qid in live}
+    # full-ADC ranking from the PQ reference, then restrict to probed cells
+    full = _py_pq_topk(rows, n_queries=n_queries, k=len(vecs), m=m,
+                       k_codes=k_codes, rounds=rounds)
+    out = {}
+    for qid, ranked in full.items():
+        cand = [(d, vid) for _, vid, d in ranked
+                if vid in cells and cells[vid] in probes[qid]]
+        cand.sort()
+        out[qid] = [(r + 1, vid, d) for r, (d, vid) in enumerate(cand[:k])]
+    return out
+
+
+def test_ivfpq_matches_pure_python(spark, emb):
+    small = emb.where("vec_id < 60")
+    rows = [(r.vec_id, r.embedding) for r in small.select("vec_id", "embedding").collect()]
+    expect = _py_ivfpq_topk(rows, n_queries=4, k=3, n_centroids=6, nprobe=2,
+                            m=4, k_codes=8, rounds=1)
+    got = {}
+    for r in clustering.ivf_pq_topk(
+        small, n_queries=4, k=3, n_centroids=6, nprobe=2,
+        m=4, k_codes=8, rounds=1,
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.adc_dist))
+    got = {q: sorted(v) for q, v in got.items()}
+    assert got == expect
+
+
+def test_ivfpq_full_probe_equals_global_adc(spark, emb):
+    """Probing EVERY cell removes the IVF restriction: the composed
+    search must equal pq_topk exactly (same codes, same LUT, same
+    ranking) — the recall-loss-is-only-the-probe-set law."""
+    a = sorted(map(tuple, clustering.ivf_pq_topk(
+        emb, n_queries=4, k=5, n_centroids=8, nprobe=8).collect()))
+    b = sorted(map(tuple, clustering.pq_topk(
+        emb, n_queries=4, k=5).collect()))
+    assert a == b
+
+
+def test_ivfpq_shape_laws(spark, emb):
+    out = clustering.ivf_pq_topk(emb, n_queries=3, k=4).collect()
+    by_q = {}
+    for r in out:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc_dist))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists)
