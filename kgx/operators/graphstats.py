@@ -835,3 +835,74 @@ def transe_margin(
             "ELSE sum_neg_energy div n_neg - sum_pos_energy div n_pos END"
         ).cast("long").alias("margin"),
     )
+
+
+def two_hop_stats(
+    triples: DataFrame, max_degree: int = 64, materialize: bool = True
+) -> DataFrame:
+    """Two-hop neighborhood size per node — the graph-expansion signal
+    (how fast does each entity's neighborhood grow?) that prices
+    traversal queries and flags hub-adjacent entities before a
+    2-hop-join workload is launched.  Output: (label, degree, two_hop,
+    expansion_bp) where ``two_hop`` counts DISTINCT nodes at exactly
+    distance 2 (direct neighbors and self excluded) and
+    ``expansion_bp`` = 10000·two_hop/degree floor-divided.
+
+    Skew contract (the common_neighbor_candidates hub stance): 2-hop
+    paths are enumerated IN-ROW from each center's sorted neighbor
+    array — ordered (x, y) pairs, never a self-join — and centers with
+    degree > ``max_degree`` are EXCLUDED from path generation (a hub
+    would emit degree² pairs); reported degrees stay uncapped.  One
+    distinct shuffle on the (label, hop2) pair key, one left-anti join
+    dropping 1-hop edges, one count aggregate.
+
+    ``materialize`` (default on): the undirected edge set feeds FOUR
+    plan branches (degrees, neighbor arrays, the anti-join build side,
+    and its own union+distinct per consumer) — one eager
+    ``localCheckpoint`` pins it, same as common_neighbor_candidates.
+    """
+    e = edge_list(triples)
+    und = e.union(
+        e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    deg = und.groupBy("subj").agg(F.count("*").cast("long").alias("degree"))
+    nbrs = und.groupBy("subj").agg(
+        F.sort_array(F.collect_list("obj")).alias("ns")
+    )
+    p2 = (
+        nbrs.where(F.size("ns") <= max_degree)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, x -> "
+                    "transform(filter(ns, y -> y != x), y -> "
+                    "named_struct('label', x, 'hop2', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.label", "p.hop2")
+        .distinct()
+    )
+    two = (
+        p2.join(
+            und.select(F.col("subj").alias("label"), F.col("obj").alias("hop2")),
+            ["label", "hop2"],
+            "left_anti",
+        )
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("two_hop"))
+    )
+    return (
+        deg.withColumnRenamed("subj", "label")
+        .join(two, "label", "left")
+        .select(
+            "label",
+            "degree",
+            F.coalesce("two_hop", F.lit(0)).cast("long").alias("two_hop"),
+            F.expr(
+                "(10000 * coalesce(two_hop, 0)) div degree"
+            ).cast("long").alias("expansion_bp"),
+        )
+    )

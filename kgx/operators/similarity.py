@@ -266,3 +266,55 @@ def embedding_near_dup_pairs_exact(
         .where(F.col("cosine") >= min_cosine)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Per-query recall@k audit of the IVF index against the exact
+    brute-force baseline — the quality dial every ANN deployment
+    monitors before widening/narrowing ``nprobe``: how many of
+    :func:`cosine_topk`'s true top-k does :func:`ivf_topk` return with
+    the same parameters?  Both sides rank by the identical quantized
+    cosine, so any miss is attributable to the probe set alone (the
+    recall-loss-is-only-the-probe-set law the IVF design rests on).
+
+    Scale shape: a pure composition — two already-bounded top-k plans
+    (k rows per query each) joined on (query_id, vec_id) and counted;
+    nothing beyond the k·n_queries result rows ever shuffles here.
+    At 100 TB this runs on a query SAMPLE (n_queries bounds the cost)
+    exactly as recall is estimated in production ANN systems.
+
+    Output: (query_id, n_exact, hits, recall_bp) — recall in floor-
+    divided basis points, one row per query with an exact result.
+    """
+    exact = cosine_topk(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    approx = ivf_topk(
+        embeddings, n_queries=n_queries, k=k,
+        n_centroids=n_centroids, nprobe=nprobe,
+    ).select("query_id", "vec_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    return (
+        n_exact.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                "(10000 * coalesce(hits, 0)) div n_exact"
+            ).cast("long").alias("recall_bp"),
+        )
+    )

@@ -3301,3 +3301,72 @@ ivfpq_ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dist
 FROM ivfpq_ranked WHERE rank <= {k}
 """.strip()
+
+
+def ann_recall_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Oracle for the IVF recall@k audit (mirror of
+    kgx.operators.similarity.ivf_recall): the exact and IVF top-k
+    oracles nested verbatim as CTEs, joined on (query_id, vec_id),
+    floor-divided basis points."""
+    return f"""
+WITH ar_exact AS MATERIALIZED (
+    {ann_topk_sql(n_queries=n_queries, k=k)}
+),
+ar_approx AS MATERIALIZED (
+    {ann_ivf_sql(n_queries=n_queries, k=k, n_centroids=n_centroids, nprobe=nprobe)}
+),
+ar_n AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+    FROM ar_exact GROUP BY 1
+),
+ar_h AS (
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+    FROM ar_exact e JOIN ar_approx a USING (query_id, vec_id)
+    GROUP BY 1
+)
+SELECT n.query_id, n.n_exact,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST((10000 * coalesce(h.hits, 0)) // n.n_exact AS BIGINT) AS recall_bp
+FROM ar_n n LEFT JOIN ar_h h USING (query_id)
+""".strip()
+
+
+def graph_two_hop_sql(max_degree: int = 64) -> str:
+    """Oracle for per-node two-hop neighborhood size (mirror of
+    kgx.operators.graphstats.two_hop_stats): undirected distinct edges,
+    ordered 2-hop pairs through centers with degree <= max_degree only,
+    distinct endpoints, direct neighbors dropped by NOT EXISTS, uncapped
+    degree in the denominator."""
+    return f"""
+{_graph_edges_ctes()},
+th_und AS MATERIALIZED (
+    SELECT subj, obj FROM gr_edges UNION SELECT obj, subj FROM gr_edges
+),
+th_deg AS MATERIALIZED (
+    SELECT subj, CAST(count(*) AS BIGINT) AS degree FROM th_und GROUP BY 1
+),
+th_p2 AS (
+    SELECT DISTINCT a.obj AS label, b.obj AS hop2
+    FROM th_und a
+    JOIN th_und b ON a.subj = b.subj AND a.obj <> b.obj
+    JOIN th_deg d ON d.subj = a.subj
+    WHERE d.degree <= {max_degree}
+),
+th_two AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS two_hop
+    FROM th_p2 p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM th_und u WHERE u.subj = p.label AND u.obj = p.hop2
+    )
+    GROUP BY 1
+)
+SELECT d.subj AS label, d.degree,
+       CAST(coalesce(t.two_hop, 0) AS BIGINT) AS two_hop,
+       CAST((10000 * coalesce(t.two_hop, 0)) // d.degree AS BIGINT) AS expansion_bp
+FROM th_deg d LEFT JOIN th_two t ON t.label = d.subj
+""".strip()

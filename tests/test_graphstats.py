@@ -840,3 +840,63 @@ def test_transe_margin_energy_bound_and_determinism(spark):
     for row in a:
         for v in (row[3], row[2]):  # sum energies
             assert 0 <= v <= 3 * (4 * 3 * 32)
+
+
+# ---------------------------------------------------------------------------
+# two_hop_stats: degree-capped two-hop neighborhood size
+# ---------------------------------------------------------------------------
+
+
+def _py_two_hop(edges, max_degree):
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((u, v)); und.add((v, u))
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+    out = {}
+    for u in nbrs:
+        two = set()
+        for c in nbrs[u]:
+            if len(nbrs[c]) <= max_degree:
+                two |= nbrs[c]
+        two -= nbrs[u] | {u}
+        d = len(nbrs[u])
+        out[u] = (d, len(two), (10000 * len(two)) // d)
+    return out
+
+
+def test_two_hop_path_graph(spark):
+    # a-b-c-d: a's 2-hop = {c}, b's = {d}, symmetric
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = {r.label: (r.degree, r.two_hop, r.expansion_bp)
+           for r in graphstats.two_hop_stats(_triples_df(spark, edges)).collect()}
+    assert got == {"a": (1, 1, 10000), "b": (2, 1, 5000),
+                   "c": (2, 1, 5000), "d": (1, 1, 10000)}
+
+
+def test_two_hop_hub_cap(spark):
+    star = [("h", f"l{i}") for i in range(8)]
+    # uncapped: each leaf reaches the 7 other leaves through h
+    full = {r.label: r.two_hop
+            for r in graphstats.two_hop_stats(
+                _triples_df(spark, star), max_degree=64).collect()}
+    assert full["h"] == 0 and all(full[f"l{i}"] == 7 for i in range(8))
+    # hub capped out: no center generates paths -> all zeros
+    capped = {r.label: r.two_hop
+              for r in graphstats.two_hop_stats(
+                  _triples_df(spark, star), max_degree=4).collect()}
+    assert set(capped.values()) == {0}
+
+
+@pytest.mark.parametrize("seed", [9, 31])
+def test_two_hop_matches_reference(spark, seed):
+    rng = random.Random(seed)
+    labels = [f"n{i}" for i in range(16)]
+    edges = [(u, v) for u, v in {(rng.choice(labels), rng.choice(labels))
+                                 for _ in range(40)} if u != v]
+    got = {r.label: (r.degree, r.two_hop, r.expansion_bp)
+           for r in graphstats.two_hop_stats(
+               _triples_df(spark, edges), max_degree=5).collect()}
+    assert got == _py_two_hop(edges, max_degree=5)

@@ -233,3 +233,27 @@ def test_media_caption_pairs_nearest_text(spark):
     assert rows["m1"].caption == "a cat photo"   # prefer-previous
     assert rows["m2"].prev_text == "a cat photo"  # empty text span skipped
     assert rows["m2"].next_text is None
+
+
+def test_ivf_recall_operator_consistency(spark, emb):
+    """The ivf_recall table must agree with computing the overlap from
+    the two top-k operators directly, and full probe => 10000 bp for
+    every query (candidate sets identical, same cosine ranking)."""
+    rec = {r.query_id: (r.n_exact, r.hits, r.recall_bp)
+           for r in similarity.ivf_recall(
+               emb, n_queries=6, k=5, n_centroids=16, nprobe=4).collect()}
+    exact = similarity.cosine_topk(emb, n_queries=6, k=5).collect()
+    approx = similarity.ivf_topk(
+        emb, n_queries=6, k=5, n_centroids=16, nprobe=4).collect()
+    e, a = {}, set()
+    for r in exact:
+        e.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        a.add((r.query_id, r.vec_id))
+    for q, es in e.items():
+        hits = sum(1 for v in es if (q, v) in a)
+        assert rec[q] == (len(es), hits, (10000 * hits) // len(es))
+    full = similarity.ivf_recall(
+        emb, n_queries=6, k=5, n_centroids=16, nprobe=16).collect()
+    assert all(r.recall_bp == 10000 for r in full)
+    assert all(0 <= bp <= 10000 for (_, _, bp) in rec.values())
