@@ -1464,7 +1464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "w2_latest_event_per_user": q_latest_event_per_user,
         "w3_retention_tail": q_retention_tail,
-        "a2_user_type_stats": q_user_type_stats,
+        # r5: ann_ivfpq_topk promoted IN-gate (the composed IVF-PQ ANN
+        # flagship); a2_user_type_stats rotated out — the A1/A2
+        # counts-and-averages family stays in-gate via a1_pricing_summary
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "jn6_customers_no_orders": q_customers_no_orders,
         # r4: s2_binary_ingest promoted into the gate set (driver-green
         # witness for the /Length PDF-codec fix); jn6_customers_with_orders
@@ -1539,9 +1542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_margin": q_kg_transe_margin,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_recall": q_ann_recall,
         "graph_two_hop": q_graph_two_hop,
+        # rotated out r5 when ann_ivfpq_topk was promoted in-gate
+        "a2_user_type_stats": q_user_type_stats,
     }
 
 
