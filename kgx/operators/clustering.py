@@ -232,10 +232,16 @@ def _pq_sub_table(base: DataFrame, m: int) -> DataFrame:
     ).select("vec_id", "p.subspace", "p.sq")
 
 
-_PQ_L2 = (
-    "aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)), "
-    "cast(0 as bigint), (acc, v) -> acc + v)"
-)
+def _pq_l2(a: str, b: str) -> str:
+    """Exact bigint squared-L2 between two equal-length arrays — the ONE
+    definition every PQ distance (assign, LUT) compiles from."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+_PQ_L2 = _pq_l2("sq", "cq")
 
 
 def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
@@ -358,9 +364,39 @@ def pq_topk(
     ascending exact-integer ADC distance, ties → min vec_id, self
     excluded.
     """
+    _pq_validate(n_queries, k, m, k_codes, rounds)
+    codes, lut = _pq_index(
+        quantized(embeddings), m, k_codes, rounds, n_queries, materialize
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_dist").cast("long").alias("adc_dist"))
+    )
+    return _pq_rank(scored, k)
+
+
+def _pq_validate(n_queries: int, k: int, m: int, k_codes: int, rounds: int) -> None:
+    """Shared loud guard rails for the PQ search family."""
     if n_queries < 1 or k < 1:
         raise ValueError(f"bad search shape n_queries={n_queries} k={k}")
-    sub = _pq_sub_table(quantized(embeddings), m)
+    if m < 1 or k_codes < 1 or rounds < 0:
+        raise ValueError(f"bad PQ shape m={m} k={k_codes} rounds={rounds}")
+
+
+def _pq_index(
+    base: DataFrame, m: int, k_codes: int, rounds: int,
+    n_queries: int, materialize: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared PQ index of the search family: train the per-subspace
+    codebook over ``base`` (a :func:`~kgx.operators.similarity.quantized`
+    table), assign codes, and build the query ADC lookup table.  Returns
+    (codes (vec_id, subspace, code), lut (query_id, subspace, code,
+    lut_dist)).  ``materialize`` pins the trained codebook with one eager
+    ``localCheckpoint`` — it feeds TWO consumers (codes assignment + the
+    LUT join), the training_pairs multi-branch stance."""
+    sub = _pq_sub_table(base, m)
     cents = _pq_train(sub, k_codes, rounds)
     if materialize:
         cents = cents.localCheckpoint(eager=True)
@@ -369,20 +405,15 @@ def pq_topk(
         F.col("vec_id").alias("query_id"), "subspace", F.col("sq").alias("qsq")
     )
     lut = qsub.join(cents, "subspace").select(
-        "query_id",
-        "subspace",
-        "code",
-        F.expr(
-            "aggregate(zip_with(qsq, cq, (x, y) -> (x - y) * (x - y)), "
-            "cast(0 as bigint), (acc, v) -> acc + v)"
-        ).alias("lut_dist"),
+        "query_id", "subspace", "code",
+        F.expr(_pq_l2("qsq", "cq")).alias("lut_dist"),
     )
-    scored = (
-        codes.join(F.broadcast(lut), ["subspace", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("lut_dist").cast("long").alias("adc_dist"))
-    )
+    return codes, lut
+
+
+def _pq_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Final per-query top-k over (query_id, vec_id, adc_dist): ascending
+    exact ADC distance, ties → min vec_id."""
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -425,14 +456,22 @@ def ivf_pq_topk(
 
     Output: (query_id, rank int, vec_id, adc_dist) — ascending ADC
     distance over probed-cell candidates only, ties → min vec_id, self
-    excluded; recall vs :func:`pq_topk` is bounded by the probe set
-    exactly as ann_ivf_topk's is vs ann_topk.
+    excluded.  On a zero-norm-free corpus, recall vs :func:`pq_topk` is
+    bounded by the probe set EXACTLY (probing every cell reproduces
+    global ADC bit-for-bit — law-tested), the same relation
+    ann_ivf_topk has to ann_topk.  Boundary: zero-norm vectors (which
+    PQ alone keeps codable) are invisible to the cosine-based coarse
+    quantizer — they can never be candidates or queries here at any
+    nprobe, while :func:`pq_topk` can still return them (the PQ index
+    itself stays UNFILTERED so trained codes match pq_topk and the
+    oracle bit-for-bit).
     """
-    from kgx.operators.similarity import assign_cells, quantized as _q
+    from kgx.operators.similarity import assign_cells
 
     if nprobe < 1 or n_centroids < 1:
         raise ValueError(f"bad IVF shape n_centroids={n_centroids} nprobe={nprobe}")
-    base = _q(embeddings).where(F.col("nrm") > 0)
+    _pq_validate(n_queries, k, m, k_codes, rounds)
+    base = quantized(embeddings).where(F.col("nrm") > 0)
     cells = assign_cells(embeddings, n_centroids).select("vec_id", "cell")
     cents = base.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell"), F.col("q").alias("cq")
@@ -448,31 +487,14 @@ def ivf_pq_topk(
         .select(
             "query_id",
             "cell",
-            F.expr(
-                "aggregate(zip_with(qq, cq, (x, y) -> x * y), "
-                "cast(0 as bigint), (acc, v) -> acc + v)"
-            ).alias("cdot"),
+            F.expr(_dot("qq", "cq")).alias("cdot"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
         .select("query_id", "cell")
     )
-    sub = _pq_sub_table(quantized(embeddings), m)
-    cents_pq = _pq_train(sub, k_codes, rounds)
-    if materialize:
-        cents_pq = cents_pq.localCheckpoint(eager=True)
-    codes = _pq_assign(sub, cents_pq).select("vec_id", "subspace", "code")
-    qsub = sub.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "subspace", F.col("sq").alias("qsq")
-    )
-    lut = qsub.join(cents_pq, "subspace").select(
-        "query_id",
-        "subspace",
-        "code",
-        F.expr(
-            "aggregate(zip_with(qsq, cq, (x, y) -> (x - y) * (x - y)), "
-            "cast(0 as bigint), (acc, v) -> acc + v)"
-        ).alias("lut_dist"),
+    codes, lut = _pq_index(
+        quantized(embeddings), m, k_codes, rounds, n_queries, materialize
     )
     cand = (
         probes.join(cells, "cell")
@@ -485,9 +507,4 @@ def ivf_pq_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("lut_dist").cast("long").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int"), "vec_id", "adc_dist")
-    )
+    return _pq_rank(scored, k)

@@ -3137,9 +3137,17 @@ def _pq_ctes(m: int, k: int, rounds: int) -> str:
         "pq_qv AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q "
         "FROM embeddings)",
+        # dim-divisibility guard mirrors the Spark side's raise_error
+        # (kgx.operators.clustering._pq_sub_table): an indivisible dim
+        # must fail LOUDLY in BOTH engines, never silently truncate
         f"pq_sub AS MATERIALIZED (\n"
         f"    SELECT vec_id, CAST(s AS INT) AS subspace,\n"
-        f"           list_slice(q, s * (len(q) // {m}) + 1,\n"
+        f"           list_slice(q,\n"
+        f"                      CASE WHEN len(q) % {m} = 0\n"
+        f"                           THEN s * (len(q) // {m}) + 1\n"
+        f"                           ELSE CAST(error('pq: embedding dim '\n"
+        f"                                || len(q) || ' not divisible by m={m}')\n"
+        f"                                AS BIGINT) END,\n"
         f"                      (s + 1) * (len(q) // {m})) AS sq\n"
         f"    FROM pq_qv, (SELECT unnest(range({m})) AS s))",
         f"pq_c0 AS (SELECT subspace, vec_id AS code, sq AS cq\n"

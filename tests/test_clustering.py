@@ -460,7 +460,9 @@ def test_ivfpq_matches_pure_python(spark, emb):
 def test_ivfpq_full_probe_equals_global_adc(spark, emb):
     """Probing EVERY cell removes the IVF restriction: the composed
     search must equal pq_topk exactly (same codes, same LUT, same
-    ranking) — the recall-loss-is-only-the-probe-set law."""
+    ranking) — the recall-loss-is-only-the-probe-set law.  Holds on
+    zero-norm-free corpora (this one); the zero-vector boundary is
+    pinned separately below."""
     a = sorted(map(tuple, clustering.ivf_pq_topk(
         emb, n_queries=4, k=5, n_centroids=8, nprobe=8).collect()))
     b = sorted(map(tuple, clustering.pq_topk(
@@ -479,3 +481,50 @@ def test_ivfpq_shape_laws(spark, emb):
         assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
         dists = [d for _, d in rows]
         assert dists == sorted(dists)
+
+
+def test_ivfpq_zero_vector_boundary(spark):
+    """The documented boundary of the full-probe law: a zero-norm vector
+    stays codable in PQ (pq_topk can return it) but is invisible to the
+    cosine coarse quantizer (never an IVF-PQ candidate at ANY nprobe) —
+    and the PQ index stays unfiltered so every NONZERO vector's code,
+    distance and rank agree between the two searches under full probe."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3, 4],
+                "embedding": [
+                    [1.0, 0.0, 0.0, 1.0],
+                    [0.9, 0.1, 0.0, 1.0],
+                    [0.0, 0.0, 0.0, 0.0],  # zero vector
+                    [-1.0, 0.5, 0.5, -1.0],
+                    [0.8, 0.0, 0.1, 0.9],
+                ],
+            }
+        )
+    )
+    kw = dict(n_queries=1, k=5, m=2, k_codes=2, rounds=1)
+    pq = {r.vec_id: (r.rank, r.adc_dist)
+          for r in clustering.pq_topk(df, **kw).collect()}
+    ivfpq = {r.vec_id: (r.rank, r.adc_dist)
+             for r in clustering.ivf_pq_topk(
+                 df, n_centroids=2, nprobe=2, **kw).collect()}
+    assert 2 in pq and 2 not in ivfpq  # the boundary itself
+    # nonzero vectors: identical ADC distances; ranks shift only by the
+    # zero vector's absence
+    for vid, (_, d) in ivfpq.items():
+        assert pq[vid][1] == d
+    assert set(pq) - {2} == set(ivfpq)
+
+
+def test_ivfpq_rejects_bad_shapes(spark, emb):
+    with pytest.raises(ValueError, match="bad search shape"):
+        clustering.ivf_pq_topk(emb, n_queries=0)
+    with pytest.raises(ValueError, match="bad PQ shape"):
+        clustering.ivf_pq_topk(emb, rounds=-1)
+    with pytest.raises(ValueError, match="bad IVF shape"):
+        clustering.ivf_pq_topk(emb, nprobe=0)
+    with pytest.raises(ValueError, match="bad search shape"):
+        clustering.pq_topk(emb, k=0)
