@@ -906,3 +906,131 @@ def two_hop_stats(
             ).cast("long").alias("expansion_bp"),
         )
     )
+
+
+def node2vec_walks(
+    triples: DataFrame,
+    length: int = 4,
+    walks_per_node: int = 2,
+    seed: int = 0,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """node2vec second-order biased walk corpus (Grover & Leskovec 2016)
+    over the directed KG edge list — :func:`random_walks`' DeepWalk
+    sampler upgraded with the return/in-out bias that lets one corpus
+    interpolate between BFS-like (structural) and DFS-like (homophilous)
+    neighborhoods.  Integer weights replace the paper's 1/p / 1 / 1/q
+    rationals: from node v arrived-from t, candidate x weighs
+    ``w_return`` if x == t, ``w_near`` if x is ALSO a neighbor of t
+    (distance 1 from t), else ``w_far`` (distance 2) — all >= 1,
+    enforced loudly, so the total weight is always positive.
+
+    Step rule: candidates are v's SORTED out-neighbors; the pick is the
+    unique candidate whose cumulative-weight window contains
+    ``md5_60(cur|walk_id|i|seed) % total_weight`` — an in-row integer
+    fold (one ``aggregate`` lambda over the zipped (candidate, weight)
+    array), replayed relationally by the DuckDB oracle as a window
+    prefix-sum, bit-for-bit.  Step 1 has no predecessor: every
+    candidate weighs ``w_far`` (uniform, like DeepWalk's first hop).
+    Sinks stop early and keep their prefix (the random_walks contract).
+
+    Scale shape: per step TWO label equi-joins of the walk frontier
+    against the adjacency table (cur's neighbors for candidates, prev's
+    for the near test — the second join is the price of second-order
+    bias; both AQE-decided, probing the same reused exchange) plus a
+    per-row O(deg_cur · log deg_prev)-ish membership fold bounded by
+    hub degree.  ``materialize`` pins the distinct edge list once (the
+    random_walks stance); the adjacency table stays lazy for the same
+    measured reason.
+
+    Output: (start_label, walk_id, walk array<string>, walk_len).
+    """
+    from kgx.functions.hashing import spark_md5_60
+
+    if length < 1 or walks_per_node < 1:
+        raise ValueError(
+            f"bad walk shape length={length} walks_per_node={walks_per_node}"
+        )
+    if min(w_return, w_near, w_far) < 1:
+        raise ValueError(
+            f"node2vec weights must be >= 1 (zero-total draws would stall "
+            f"walkers): w_return={w_return} w_near={w_near} w_far={w_far}"
+        )
+    e = edge_list(triples)
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    adj = e.groupBy("subj").agg(F.sort_array(F.collect_set("obj")).alias("nbrs"))
+    nodes = (
+        e.select(F.col("subj").alias("label"))
+        .union(e.select(F.col("obj").alias("label")))
+        .distinct()
+    )
+    cur = nodes.selectExpr(
+        "label AS start_label",
+        f"explode(sequence(0, {walks_per_node - 1})) AS w",
+        "label AS cur",
+        "cast(null as string) AS prev",
+        "array(label) AS walk",
+    ).selectExpr(
+        "start_label", "cast(w as bigint) AS walk_id", "cur", "prev", "walk"
+    )
+    padj = adj.select(
+        F.col("subj").alias("psubj"), F.col("nbrs").alias("pnbrs")
+    )
+    for i in range(1, length):
+        h = spark_md5_60(
+            f"concat_ws('|', cur, cast(walk_id as string), '{i}', '{seed}')"
+        )
+        weight = (
+            f"CASE WHEN x = prev THEN cast({w_return} as bigint) "
+            f"WHEN array_contains(coalesce(pnbrs, array()), x) "
+            f"THEN cast({w_near} as bigint) "
+            f"ELSE cast({w_far} as bigint) END"
+        )
+        pick = (
+            f"aggregate("
+            f"  zip_with(nbrs, transform(nbrs, x -> {weight}),"
+            f"           (x, w) -> named_struct('x', x, 'w', w)),"
+            f"  named_struct("
+            f"    'rem', cast(({h}) % aggregate(transform(nbrs, x -> {weight}),"
+            f"                 cast(0 as bigint), (acc, v) -> acc + v) as bigint),"
+            f"    'pick', cast(null as string)),"
+            f"  (acc, e) -> CASE"
+            f"    WHEN acc.pick IS NOT NULL THEN acc"
+            f"    WHEN acc.rem < e.w THEN named_struct('rem', acc.rem, 'pick', e.x)"
+            f"    ELSE named_struct('rem', acc.rem - e.w, 'pick', acc.pick) END,"
+            f"  acc -> acc.pick)"
+        )
+        stepped = (
+            cur.join(adj, F.col("cur") == F.col("subj"), "left")
+            .join(padj, F.col("prev") == F.col("psubj"), "left")
+            .select(
+                "start_label",
+                "walk_id",
+                "cur",
+                "prev",
+                "walk",
+                F.expr(
+                    f"CASE WHEN nbrs IS NULL THEN NULL ELSE {pick} END"
+                ).alias("nxt"),
+            )
+        )
+        cur = stepped.select(
+            "start_label",
+            "walk_id",
+            F.expr("coalesce(nxt, cur)").alias("cur"),
+            F.expr("CASE WHEN nxt IS NULL THEN prev ELSE cur END").alias("prev"),
+            F.expr(
+                "CASE WHEN nxt IS NULL THEN walk "
+                "ELSE array_append(walk, nxt) END"
+            ).alias("walk"),
+        )
+    return cur.select(
+        "start_label",
+        "walk_id",
+        "walk",
+        F.expr("cast(size(walk) as bigint)").alias("walk_len"),
+    )

@@ -3378,3 +3378,88 @@ SELECT d.subj AS label, d.degree,
        CAST((10000 * coalesce(t.two_hop, 0)) // d.degree AS BIGINT) AS expansion_bp
 FROM th_deg d LEFT JOIN th_two t ON t.label = d.subj
 """.strip()
+
+
+def node2vec_walks_sql(
+    length: int = 4,
+    walks_per_node: int = 2,
+    seed: int = 0,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 2,
+) -> str:
+    """Oracle for node2vec second-order biased walks (mirror of
+    kgx.operators.graphstats.node2vec_walks): the engine's in-row
+    cumulative-weight fold replayed RELATIONALLY — per unrolled step,
+    candidates unnest with position from the same sorted adjacency
+    array, weigh via the same return/near/far CASE, and the picked
+    candidate is the unique row whose [cum - w, cum) window contains
+    md5_60(cur|walk_id|i|seed) % total — identical integer arithmetic,
+    bit-for-bit walks."""
+    from kgx.functions.hashing import duckdb_md5_60
+
+    ctes = [
+        "gr_adj AS MATERIALIZED (SELECT subj, list_sort(list(DISTINCT obj)) "
+        "AS nbrs FROM gr_edges GROUP BY 1)",
+        "gr_nodes AS (SELECT subj AS label FROM gr_edges "
+        "UNION SELECT obj FROM gr_edges)",
+        f"""
+nv_w0 AS (
+    SELECT label AS start_label, CAST(w AS BIGINT) AS walk_id,
+           label AS cur, CAST(NULL AS VARCHAR) AS prev, [label] AS walk
+    FROM gr_nodes, (SELECT unnest(range({walks_per_node})) AS w) ws
+)""".strip(),
+    ]
+    for i in range(1, length):
+        h = duckdb_md5_60(
+            f"concat_ws('|', cur, CAST(walk_id AS VARCHAR), '{i}', '{seed}')"
+        )
+        ctes.append(f"""
+nv_c{i} AS (
+    SELECT f.start_label, f.walk_id, f.cur, f.prev,
+           unnest(a.nbrs) AS x,
+           unnest(range(1, len(a.nbrs) + 1)) AS pos,
+           pn.pnbrs
+    FROM nv_w{i - 1} f
+    JOIN gr_adj a ON a.subj = f.cur
+    LEFT JOIN (SELECT subj AS psubj, nbrs AS pnbrs FROM gr_adj) pn
+           ON pn.psubj = f.prev
+),
+nv_k{i} AS (
+    SELECT start_label, walk_id, cur, x, pos,
+           CASE WHEN x = prev THEN CAST({w_return} AS BIGINT)
+                WHEN pnbrs IS NOT NULL AND list_contains(pnbrs, x)
+                THEN CAST({w_near} AS BIGINT)
+                ELSE CAST({w_far} AS BIGINT) END AS w
+    FROM nv_c{i}
+),
+nv_m{i} AS (
+    SELECT *,
+           sum(w) OVER (PARTITION BY start_label, walk_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(w) OVER (PARTITION BY start_label, walk_id) AS total
+    FROM nv_k{i}
+),
+nv_p{i} AS (
+    SELECT start_label, walk_id, x
+    FROM nv_m{i}
+    WHERE ({h}) % total >= cum - w AND ({h}) % total < cum
+),
+nv_w{i} AS (
+    SELECT f.start_label, f.walk_id,
+           coalesce(p.x, f.cur) AS cur,
+           CASE WHEN p.x IS NULL THEN f.prev ELSE f.cur END AS prev,
+           CASE WHEN p.x IS NULL THEN f.walk
+                ELSE list_append(f.walk, p.x) END AS walk
+    FROM nv_w{i - 1} f
+    LEFT JOIN nv_p{i} p USING (start_label, walk_id)
+)
+""".strip())
+    chain = ",\n".join(ctes)
+    return f"""
+{_graph_edges_ctes()},
+{chain}
+SELECT start_label, walk_id, walk,
+       CAST(len(walk) AS BIGINT) AS walk_len
+FROM nv_w{length - 1}
+""".strip()

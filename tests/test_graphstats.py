@@ -900,3 +900,75 @@ def test_two_hop_matches_reference(spark, seed):
            for r in graphstats.two_hop_stats(
                _triples_df(spark, edges), max_degree=5).collect()}
     assert got == _py_two_hop(edges, max_degree=5)
+
+
+# ---------------------------------------------------------------------------
+# node2vec_walks: second-order biased walks
+# ---------------------------------------------------------------------------
+
+
+def _py_node2vec(edges, length, walks_per_node, seed,
+                 w_return=1, w_near=4, w_far=2):
+    adj = {}
+    for u, v in sorted(set(edges)):
+        adj.setdefault(u, set()).add(v)
+    adj = {u: sorted(vs) for u, vs in adj.items()}
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for n in nodes:
+        for w in range(walks_per_node):
+            cur, prev, walk = n, None, [n]
+            for i in range(1, length):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                ws = []
+                for x in nbrs:
+                    if prev is not None and x == prev:
+                        ws.append(w_return)
+                    elif prev is not None and x in adj.get(prev, []):
+                        ws.append(w_near)
+                    else:
+                        ws.append(w_far)
+                r = _md5_60(f"{cur}|{w}|{i}|{seed}") % sum(ws)
+                for x, wt in zip(nbrs, ws):
+                    if r < wt:
+                        pick = x
+                        break
+                    r -= wt
+                walk.append(pick)
+                prev, cur = cur, pick
+            out[(n, w)] = walk
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_node2vec_matches_reference(spark, seed):
+    rng = random.Random(seed)
+    labels = [f"n{i}" for i in range(18)]
+    edges = [(u, v) for u, v in {(rng.choice(labels), rng.choice(labels))
+                                 for _ in range(55)} if u != v]
+    got = {(r.start_label, r.walk_id): list(r.walk)
+           for r in graphstats.node2vec_walks(
+               _triples_df(spark, edges), length=5, walks_per_node=2,
+               seed=seed, w_return=1, w_near=4, w_far=2).collect()}
+    assert got == _py_node2vec(edges, length=5, walks_per_node=2, seed=seed)
+
+
+def test_node2vec_walks_follow_edges_and_stop_at_sinks(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]  # d is a sink
+    eset = set(edges)
+    rows = graphstats.node2vec_walks(
+        _triples_df(spark, edges), length=6, walks_per_node=2).collect()
+    for r in rows:
+        for u, v in zip(r.walk, r.walk[1:]):
+            assert (u, v) in eset  # every hop is a real directed edge
+        assert r.walk_len == len(r.walk)
+    d_walks = [r for r in rows if r.start_label == "d"]
+    assert all(r.walk == ["d"] for r in d_walks)  # sink keeps its prefix
+
+
+def test_node2vec_rejects_zero_weights(spark):
+    edges = [("a", "b")]
+    with pytest.raises(ValueError, match="weights must be >= 1"):
+        graphstats.node2vec_walks(_triples_df(spark, edges), w_near=0)
