@@ -10,7 +10,9 @@ consumes::
         --walk-length 8 --walks-per-node 4 --window 2 --seed 0
 
 Outputs: ``<out>/walks`` (start_label, walk_id, walk, walk_len — the
-deterministic DeepWalk corpus, reproducible by (seed, walk_id)),
+deterministic walk corpus, reproducible by (seed, walk_id); uniform
+DeepWalk sampling by default, node2vec second-order bias with
+``--biased --w-return/--w-near/--w-far``),
 ``<out>/skipgram_pairs`` (center, context, n_pairs — windowed pair
 counts, the node2vec co-occurrence table), ``<out>/training_pairs``
 (subj, pred, obj, is_positive — the filtered TransE contrastive set)
@@ -42,6 +44,15 @@ def main(argv=None) -> int:
     p.add_argument("--embedding-dim", type=int, default=8,
                    help="hash-embedding dims for the transe_margin audit")
     p.add_argument("--embedding-modulus", type=int, default=1024)
+    p.add_argument("--biased", action="store_true",
+                   help="node2vec second-order biased walks instead of "
+                        "the uniform DeepWalk sampler")
+    p.add_argument("--w-return", type=int, default=1,
+                   help="node2vec return weight (~1/p), --biased only")
+    p.add_argument("--w-near", type=int, default=4,
+                   help="node2vec distance-1 weight, --biased only")
+    p.add_argument("--w-far", type=int, default=2,
+                   help="node2vec distance-2 weight (~1/q), --biased only")
     p.add_argument("--master", default=None, help="override (sandbox runs)")
     args = p.parse_args(argv)
 
@@ -60,12 +71,24 @@ def main(argv=None) -> int:
     triples = pipeline.read_output(spark, args.graph, "triples")
     # the walk corpus feeds BOTH its own write and the skip-gram pass —
     # persist the bounded (labels + short array) table once
-    walks = graphstats.random_walks(
-        triples,
-        length=args.walk_length,
-        walks_per_node=args.walks_per_node,
-        seed=args.seed,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if args.biased:
+        walks = graphstats.node2vec_walks(
+            triples,
+            length=args.walk_length,
+            walks_per_node=args.walks_per_node,
+            seed=args.seed,
+            w_return=args.w_return,
+            w_near=args.w_near,
+            w_far=args.w_far,
+        )
+    else:
+        walks = graphstats.random_walks(
+            triples,
+            length=args.walk_length,
+            walks_per_node=args.walks_per_node,
+            seed=args.seed,
+        )
+    walks = walks.persist(StorageLevel.MEMORY_AND_DISK)
 
     walks.write.mode("overwrite").parquet(args.out + "/walks")
     pairs = graphstats.walk_skipgram_pairs(walks, window=args.window)
@@ -96,6 +119,7 @@ def main(argv=None) -> int:
         "walk_length": args.walk_length,
         "walks_per_node": args.walks_per_node,
         "seed": args.seed,
+        "biased": bool(args.biased),
         "skipgram_pairs_distinct": int(pair_stats["n"]),
         "skipgram_pair_occurrences": int(pair_stats["occ"]),
         "training_pairs": (

@@ -972,3 +972,40 @@ def test_node2vec_rejects_zero_weights(spark):
     edges = [("a", "b")]
     with pytest.raises(ValueError, match="weights must be >= 1"):
         graphstats.node2vec_walks(_triples_df(spark, edges), w_near=0)
+
+
+def test_run_embedding_prep_job_biased_walks(spark, sf_dir, tmp_path):
+    """--biased switches the walk sampler to node2vec; the materialized
+    corpus equals node2vec_walks run directly with the same weights."""
+    import sys
+
+    from kgx.plans import pipeline
+    from kgx.sources import corpus, docs as docs_src
+
+    graph_out = str(tmp_path / "graph")
+    docs = docs_src.spans_table(
+        corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
+    )
+    pipeline.run(
+        spark, docs, pipeline.PipelineConfig(out_dir=graph_out, n_buckets=8)
+    )
+    sys.path.insert(0, "jobs")
+    try:
+        import run_embedding_prep
+    finally:
+        sys.path.pop(0)
+    prep_out = str(tmp_path / "training")
+    rc = run_embedding_prep.main(
+        ["--graph", graph_out, "--out", prep_out,
+         "--walk-length", "4", "--walks-per-node", "1",
+         "--negatives-k", "0", "--biased", "--w-return", "2", "--w-near", "3"]
+    )
+    assert rc == 0
+    triples = pipeline.read_output(spark, graph_out, "triples")
+    direct = {(r.start_label, r.walk_id): list(r.walk)
+              for r in graphstats.node2vec_walks(
+                  triples, length=4, walks_per_node=1,
+                  w_return=2, w_near=3, w_far=2).collect()}
+    materialized = {(r.start_label, r.walk_id): list(r.walk)
+                    for r in spark.read.parquet(prep_out + "/walks").collect()}
+    assert materialized == direct
