@@ -120,6 +120,14 @@ def main(argv=None) -> int:
         "walks_per_node": args.walks_per_node,
         "seed": args.seed,
         "biased": bool(args.biased),
+        # the bias weights are corpus-determining exactly like seed /
+        # walk_length — record them so biased runs are reproducible
+        # from the manifest alone
+        "walk_weights": (
+            {"w_return": args.w_return, "w_near": args.w_near,
+             "w_far": args.w_far}
+            if args.biased else None
+        ),
         "skipgram_pairs_distinct": int(pair_stats["n"]),
         "skipgram_pair_occurrences": int(pair_stats["occ"]),
         "training_pairs": (

@@ -621,6 +621,50 @@ def training_pairs(
     return pos.unionByName(neg)
 
 
+def _walk_scaffold(
+    triples: DataFrame, walks_per_node: int, materialize: bool, with_prev: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffolding of the walk samplers (random_walks /
+    node2vec_walks): pinned distinct edge list → sorted adjacency table
+    + the step-0 walk frontier.  ``with_prev`` adds the NULL-initialized
+    predecessor column second-order samplers track.  One definition so a
+    future change to the pin stance or adjacency semantics cannot drift
+    between samplers."""
+    e = edge_list(triples)
+    if materialize:
+        # feeds the adjacency aggregate + both halves of the node union
+        e = e.localCheckpoint(eager=True)
+    adj = e.groupBy("subj").agg(F.sort_array(F.collect_set("obj")).alias("nbrs"))
+    nodes = (
+        e.select(F.col("subj").alias("label"))
+        .union(e.select(F.col("obj").alias("label")))
+        .distinct()
+    )
+    cols = [
+        "label AS start_label",
+        f"explode(sequence(0, {walks_per_node - 1})) AS w",
+        "label AS cur",
+    ]
+    out = ["start_label", "cast(w as bigint) AS walk_id", "cur"]
+    if with_prev:
+        cols.append("cast(null as string) AS prev")
+        out.append("prev")
+    cols.append("array(label) AS walk")
+    out.append("walk")
+    return adj, nodes.selectExpr(*cols).selectExpr(*out)
+
+
+def _walk_output(cur: DataFrame) -> DataFrame:
+    """Final (start_label, walk_id, walk, walk_len) projection shared by
+    every walk sampler."""
+    return cur.select(
+        "start_label",
+        "walk_id",
+        "walk",
+        F.expr("cast(size(walk) as bigint)").alias("walk_len"),
+    )
+
+
 def random_walks(
     triples: DataFrame,
     length: int = 4,
@@ -668,22 +712,7 @@ def random_walks(
         raise ValueError(
             f"bad walk shape length={length} walks_per_node={walks_per_node}"
         )
-    e = edge_list(triples)
-    if materialize:
-        # feeds the adjacency aggregate + both halves of the node union
-        e = e.localCheckpoint(eager=True)
-    adj = e.groupBy("subj").agg(F.sort_array(F.collect_set("obj")).alias("nbrs"))
-    nodes = (
-        e.select(F.col("subj").alias("label"))
-        .union(e.select(F.col("obj").alias("label")))
-        .distinct()
-    )
-    cur = nodes.selectExpr(
-        "label AS start_label",
-        f"explode(sequence(0, {walks_per_node - 1})) AS w",
-        "label AS cur",
-        "array(label) AS walk",
-    ).selectExpr("start_label", "cast(w as bigint) AS walk_id", "cur", "walk")
+    adj, cur = _walk_scaffold(triples, walks_per_node, materialize, with_prev=False)
     for i in range(1, length):
         h = spark_md5_60(
             f"concat_ws('|', cur, cast(walk_id as string), '{i}', '{seed}')"
@@ -708,12 +737,7 @@ def random_walks(
                 "ELSE array_append(walk, nxt) END"
             ).alias("walk"),
         )
-    return cur.select(
-        "start_label",
-        "walk_id",
-        "walk",
-        F.expr("cast(size(walk) as bigint)").alias("walk_len"),
-    )
+    return _walk_output(cur)
 
 
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
@@ -937,14 +961,21 @@ def node2vec_walks(
     candidate weighs ``w_far`` (uniform, like DeepWalk's first hop).
     Sinks stop early and keep their prefix (the random_walks contract).
 
-    Scale shape: per step TWO label equi-joins of the walk frontier
+    Scale shape: steps >= 2 do TWO label equi-joins of the walk frontier
     against the adjacency table (cur's neighbors for candidates, prev's
     for the near test — the second join is the price of second-order
     bias; both AQE-decided, probing the same reused exchange) plus a
-    per-row O(deg_cur · log deg_prev)-ish membership fold bounded by
-    hub degree.  ``materialize`` pins the distinct edge list once (the
-    random_walks stance); the adjacency table stays lazy for the same
-    measured reason.
+    per-row O(deg_cur · deg_prev) membership fold bounded by hub degree
+    (``array_contains`` is a linear scan); the weight array is computed
+    ONCE per row as its own projected column — referenced twice
+    downstream, which keeps CollapseProject from inlining the fold into
+    both consumers (SPARK-36718, the transe_margin stance).  Step 1 has
+    no predecessor, so it skips the prev join entirely and picks
+    uniformly (index ``(h % (deg·w_far)) div w_far`` — identical to the
+    fold with constant weights).  ``materialize`` pins the distinct
+    edge list once (the random_walks stance, via the shared
+    :func:`_walk_scaffold`); the adjacency table stays lazy for the
+    same measured reason.
 
     Output: (start_label, walk_id, walk array<string>, walk_len).
     """
@@ -959,24 +990,7 @@ def node2vec_walks(
             f"node2vec weights must be >= 1 (zero-total draws would stall "
             f"walkers): w_return={w_return} w_near={w_near} w_far={w_far}"
         )
-    e = edge_list(triples)
-    if materialize:
-        e = e.localCheckpoint(eager=True)
-    adj = e.groupBy("subj").agg(F.sort_array(F.collect_set("obj")).alias("nbrs"))
-    nodes = (
-        e.select(F.col("subj").alias("label"))
-        .union(e.select(F.col("obj").alias("label")))
-        .distinct()
-    )
-    cur = nodes.selectExpr(
-        "label AS start_label",
-        f"explode(sequence(0, {walks_per_node - 1})) AS w",
-        "label AS cur",
-        "cast(null as string) AS prev",
-        "array(label) AS walk",
-    ).selectExpr(
-        "start_label", "cast(w as bigint) AS walk_id", "cur", "prev", "walk"
-    )
+    adj, cur = _walk_scaffold(triples, walks_per_node, materialize, with_prev=True)
     padj = adj.select(
         F.col("subj").alias("psubj"), F.col("nbrs").alias("pnbrs")
     )
@@ -984,30 +998,17 @@ def node2vec_walks(
         h = spark_md5_60(
             f"concat_ws('|', cur, cast(walk_id as string), '{i}', '{seed}')"
         )
-        weight = (
-            f"CASE WHEN x = prev THEN cast({w_return} as bigint) "
-            f"WHEN array_contains(coalesce(pnbrs, array()), x) "
-            f"THEN cast({w_near} as bigint) "
-            f"ELSE cast({w_far} as bigint) END"
-        )
-        pick = (
-            f"aggregate("
-            f"  zip_with(nbrs, transform(nbrs, x -> {weight}),"
-            f"           (x, w) -> named_struct('x', x, 'w', w)),"
-            f"  named_struct("
-            f"    'rem', cast(({h}) % aggregate(transform(nbrs, x -> {weight}),"
-            f"                 cast(0 as bigint), (acc, v) -> acc + v) as bigint),"
-            f"    'pick', cast(null as string)),"
-            f"  (acc, e) -> CASE"
-            f"    WHEN acc.pick IS NOT NULL THEN acc"
-            f"    WHEN acc.rem < e.w THEN named_struct('rem', acc.rem, 'pick', e.x)"
-            f"    ELSE named_struct('rem', acc.rem - e.w, 'pick', acc.pick) END,"
-            f"  acc -> acc.pick)"
-        )
-        stepped = (
-            cur.join(adj, F.col("cur") == F.col("subj"), "left")
-            .join(padj, F.col("prev") == F.col("psubj"), "left")
-            .select(
+        if i == 1:
+            # no predecessor: every candidate weighs w_far — the fold
+            # with constant weights reduces to one modular index pick,
+            # and the prev-adjacency join would match nothing
+            pick = (
+                f"element_at(nbrs, cast((({h}) % "
+                f"(size(nbrs) * {w_far})) div {w_far} as int) + 1)"
+            )
+            stepped = cur.join(
+                adj, F.col("cur") == F.col("subj"), "left"
+            ).select(
                 "start_label",
                 "walk_id",
                 "cur",
@@ -1017,7 +1018,49 @@ def node2vec_walks(
                     f"CASE WHEN nbrs IS NULL THEN NULL ELSE {pick} END"
                 ).alias("nxt"),
             )
-        )
+        else:
+            weight = (
+                f"CASE WHEN x = prev THEN cast({w_return} as bigint) "
+                f"WHEN array_contains(coalesce(pnbrs, array()), x) "
+                f"THEN cast({w_near} as bigint) "
+                f"ELSE cast({w_far} as bigint) END"
+            )
+            weighted = (
+                cur.join(adj, F.col("cur") == F.col("subj"), "left")
+                .join(padj, F.col("prev") == F.col("psubj"), "left")
+                .select(
+                    "start_label",
+                    "walk_id",
+                    "cur",
+                    "prev",
+                    "walk",
+                    "nbrs",
+                    F.expr(f"transform(nbrs, x -> {weight})").alias("ws"),
+                )
+            )
+            pick = (
+                f"aggregate("
+                f"  zip_with(nbrs, ws, (x, w) -> named_struct('x', x, 'w', w)),"
+                f"  named_struct("
+                f"    'rem', cast(({h}) % aggregate(ws,"
+                f"                 cast(0 as bigint), (acc, v) -> acc + v) as bigint),"
+                f"    'pick', cast(null as string)),"
+                f"  (acc, e) -> CASE"
+                f"    WHEN acc.pick IS NOT NULL THEN acc"
+                f"    WHEN acc.rem < e.w THEN named_struct('rem', acc.rem, 'pick', e.x)"
+                f"    ELSE named_struct('rem', acc.rem - e.w, 'pick', acc.pick) END,"
+                f"  acc -> acc.pick)"
+            )
+            stepped = weighted.select(
+                "start_label",
+                "walk_id",
+                "cur",
+                "prev",
+                "walk",
+                F.expr(
+                    f"CASE WHEN nbrs IS NULL THEN NULL ELSE {pick} END"
+                ).alias("nxt"),
+            )
         cur = stepped.select(
             "start_label",
             "walk_id",
@@ -1028,9 +1071,4 @@ def node2vec_walks(
                 "ELSE array_append(walk, nxt) END"
             ).alias("walk"),
         )
-    return cur.select(
-        "start_label",
-        "walk_id",
-        "walk",
-        F.expr("cast(size(walk) as bigint)").alias("walk_len"),
-    )
+    return _walk_output(cur)

@@ -2208,6 +2208,28 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL
 """.strip()
 
 
+def _walk_base_ctes(
+    walks_per_node: int, w0_name: str, with_prev: bool
+) -> list[str]:
+    """Shared base of every walk oracle (mirror of
+    kgx.operators.graphstats._walk_scaffold): sorted-distinct adjacency,
+    node union, step-0 frontier.  ONE definition of the adjacency
+    semantics so the DeepWalk and node2vec oracles can never drift."""
+    prev = "CAST(NULL AS VARCHAR) AS prev,\n           " if with_prev else ""
+    return [
+        "gr_adj AS MATERIALIZED (SELECT subj, list_sort(list(DISTINCT obj)) "
+        "AS nbrs FROM gr_edges GROUP BY 1)",
+        "gr_nodes AS (SELECT subj AS label FROM gr_edges "
+        "UNION SELECT obj FROM gr_edges)",
+        f"""
+{w0_name} AS (
+    SELECT label AS start_label, CAST(w AS BIGINT) AS walk_id,
+           label AS cur, {prev}[label] AS walk
+    FROM gr_nodes, (SELECT unnest(range({walks_per_node})) AS w) ws
+)""".strip(),
+    ]
+
+
 def _random_walks_ctes(
     length: int = 4, walks_per_node: int = 2, seed: int = 0
 ) -> tuple[str, str]:
@@ -2216,18 +2238,7 @@ def _random_walks_ctes(
     the skip-gram pair oracle share one generator."""
     from kgx.functions.hashing import duckdb_md5_60
 
-    ctes = [
-        "gr_adj AS MATERIALIZED (SELECT subj, list_sort(list(DISTINCT obj)) "
-        "AS nbrs FROM gr_edges GROUP BY 1)",
-        "gr_nodes AS (SELECT subj AS label FROM gr_edges "
-        "UNION SELECT obj FROM gr_edges)",
-        f"""
-w0 AS (
-    SELECT label AS start_label, CAST(w AS BIGINT) AS walk_id,
-           label AS cur, [label] AS walk
-    FROM gr_nodes, (SELECT unnest(range({walks_per_node})) AS w) ws
-)""".strip(),
-    ]
+    ctes = _walk_base_ctes(walks_per_node, w0_name="w0", with_prev=False)
     for i in range(1, length):
         h = duckdb_md5_60(
             f"concat_ws('|', cur, CAST(walk_id AS VARCHAR), '{i}', '{seed}')"
@@ -3398,18 +3409,7 @@ def node2vec_walks_sql(
     bit-for-bit walks."""
     from kgx.functions.hashing import duckdb_md5_60
 
-    ctes = [
-        "gr_adj AS MATERIALIZED (SELECT subj, list_sort(list(DISTINCT obj)) "
-        "AS nbrs FROM gr_edges GROUP BY 1)",
-        "gr_nodes AS (SELECT subj AS label FROM gr_edges "
-        "UNION SELECT obj FROM gr_edges)",
-        f"""
-nv_w0 AS (
-    SELECT label AS start_label, CAST(w AS BIGINT) AS walk_id,
-           label AS cur, CAST(NULL AS VARCHAR) AS prev, [label] AS walk
-    FROM gr_nodes, (SELECT unnest(range({walks_per_node})) AS w) ws
-)""".strip(),
-    ]
+    ctes = _walk_base_ctes(walks_per_node, w0_name="nv_w0", with_prev=True)
     for i in range(1, length):
         h = duckdb_md5_60(
             f"concat_ws('|', cur, CAST(walk_id AS VARCHAR), '{i}', '{seed}')"

@@ -702,22 +702,32 @@ def test_walk_skipgram_laws(spark):
         graphstats.walk_skipgram_pairs(walks, window=0)
 
 
-def test_run_embedding_prep_job_over_pipeline_output(spark, sf_dir, tmp_path):
-    """The embedding-prep job's tables agree with the operators run
-    directly over the same materialized triples."""
-    import sys
-
+@pytest.fixture(scope="module")
+def prep_graph(spark, sf_dir, tmp_path_factory):
+    """One materialized pipeline run shared by every embedding-prep job
+    test — each pipeline.run is a multi-second Spark job, and the job
+    tests only READ the graph output."""
     from kgx.plans import pipeline
     from kgx.sources import corpus, docs as docs_src
 
-    graph_out = str(tmp_path / "graph")
+    graph_out = str(tmp_path_factory.mktemp("prep") / "graph")
     docs = docs_src.spans_table(
         corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
     )
     pipeline.run(
         spark, docs, pipeline.PipelineConfig(out_dir=graph_out, n_buckets=8)
     )
+    return graph_out
 
+
+def test_run_embedding_prep_job_over_pipeline_output(spark, prep_graph, tmp_path):
+    """The embedding-prep job's tables agree with the operators run
+    directly over the same materialized triples."""
+    import sys
+
+    from kgx.plans import pipeline
+
+    graph_out = prep_graph
     sys.path.insert(0, "jobs")
     try:
         import run_embedding_prep
@@ -974,21 +984,14 @@ def test_node2vec_rejects_zero_weights(spark):
         graphstats.node2vec_walks(_triples_df(spark, edges), w_near=0)
 
 
-def test_run_embedding_prep_job_biased_walks(spark, sf_dir, tmp_path):
+def test_run_embedding_prep_job_biased_walks(spark, prep_graph, tmp_path):
     """--biased switches the walk sampler to node2vec; the materialized
     corpus equals node2vec_walks run directly with the same weights."""
     import sys
 
     from kgx.plans import pipeline
-    from kgx.sources import corpus, docs as docs_src
 
-    graph_out = str(tmp_path / "graph")
-    docs = docs_src.spans_table(
-        corpus.narrative_documents(docs_src.load_documents(spark, sf_dir))
-    )
-    pipeline.run(
-        spark, docs, pipeline.PipelineConfig(out_dir=graph_out, n_buckets=8)
-    )
+    graph_out = prep_graph
     sys.path.insert(0, "jobs")
     try:
         import run_embedding_prep
