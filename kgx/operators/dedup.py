@@ -516,3 +516,60 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def lsh_blocking_recall(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_shingle_df: int = 50,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Blocking-quality audit of the MinHash-LSH near-dup join against
+    the exact inverted-index Jaccard join — the dedup counterpart of the
+    ANN family's recall audit (kgx.operators.similarity.ivf_recall), and
+    the dial that sizes ``bands``/``num_hashes`` in production: how many
+    of the TRUE >= threshold pairs does banded LSH recover?  Both sides
+    verify with exact n-gram Jaccard, so every miss is attributable to
+    the banding (a pair whose signatures agree in no band) or to the
+    ``max_bucket`` skew cap.
+
+    Scale shape: a pure composition of two already-bounded pair plans;
+    everything after them is pair-key aggregates (one LEFT SEMI join on
+    the (doc_a, doc_b) key, two single-row counts, one 1×1 cross join).
+    The exact side costs the inverted-index self-join — at 100 TB this
+    audit runs on a SAMPLED partition of the corpus exactly as blocking
+    recall is estimated for production ER systems; at gate scale it runs
+    whole.
+
+    Output: ONE row (n_exact_pairs, n_lsh_pairs, missed_pairs,
+    recall_bp) — counts of true pairs, LSH-recovered true pairs (the
+    intersection, robust to guard-setting drift between the two sides),
+    their difference, and floor-divided basis-point recall (NULL when no
+    true pair exists).
+    """
+    exact = ngram_jaccard_pairs(
+        documents, threshold=threshold, max_shingle_df=max_shingle_df
+    ).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(
+        documents,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    ).select("doc_a", "doc_b")
+    ne = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    nl = (
+        lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_lsh_pairs"))
+    )
+    return ne.crossJoin(nl).select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        F.expr("n_exact_pairs - n_lsh_pairs").cast("long").alias("missed_pairs"),
+        F.expr(
+            "CASE WHEN n_exact_pairs = 0 THEN NULL "
+            "ELSE (10000 * n_lsh_pairs) div n_exact_pairs END"
+        ).cast("long").alias("recall_bp"),
+    )

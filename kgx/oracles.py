@@ -3463,3 +3463,38 @@ SELECT start_label, walk_id, walk,
        CAST(len(walk) AS BIGINT) AS walk_len
 FROM nv_w{length - 1}
 """.strip()
+
+
+def lsh_recall_sql(
+    threshold: float = 0.5,
+    max_shingle_df: int = 50,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket: int = 200,
+) -> str:
+    """Oracle for the LSH blocking-recall audit (mirror of
+    kgx.operators.dedup.lsh_blocking_recall): the exact and LSH pair
+    oracles nested verbatim as CTEs, intersection counted via EXISTS,
+    floor-divided basis points, NULL-guarded."""
+    return f"""
+WITH lr_exact AS MATERIALIZED (
+    {dedup_jaccard_sql(threshold=threshold, max_shingle_df=max_shingle_df)}
+),
+lr_lsh AS MATERIALIZED (
+    {dedup_minhash_sql(num_hashes=num_hashes, bands=bands,
+                       threshold=threshold, max_bucket=max_bucket)}
+),
+lr_e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM lr_exact),
+lr_l AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_lsh_pairs
+    FROM lr_lsh x
+    WHERE EXISTS (SELECT 1 FROM lr_exact e
+                  WHERE e.doc_a = x.doc_a AND e.doc_b = x.doc_b)
+)
+SELECT n_exact_pairs, n_lsh_pairs,
+       CAST(n_exact_pairs - n_lsh_pairs AS BIGINT) AS missed_pairs,
+       CAST(CASE WHEN n_exact_pairs = 0 THEN NULL
+            ELSE (10000 * n_lsh_pairs) // n_exact_pairs
+            END AS BIGINT) AS recall_bp
+FROM lr_e, lr_l
+""".strip()

@@ -364,3 +364,32 @@ def test_vocab_topk_order_and_plan(spark):
     )
     # global top-k must be the per-partition-heap operator, not a full sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lsh_blocking_recall_consistency(spark):
+    """The audit row equals the overlap computed from the two pair
+    operators directly; intersection bounds hold by construction."""
+    texts = [f"doc number {i} filler words to make shingles unique {i}"
+             for i in range(12)]
+    texts += [BASE, BASE.replace("kappa", "lambda"),
+              BASE.replace("alpha", "omega")]
+    df = _docs(spark, texts)
+    row = dedup.lsh_blocking_recall(df, threshold=0.5).collect()[0]
+    exact = {(r.doc_a, r.doc_b)
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()}
+    hits = len(lsh & exact)
+    assert (row.n_exact_pairs, row.n_lsh_pairs) == (len(exact), hits)
+    assert row.missed_pairs == len(exact) - hits >= 0
+    assert row.recall_bp == (10000 * hits) // len(exact)
+    assert exact  # the fixture plants real near-dup pairs
+
+
+def test_lsh_blocking_recall_null_on_empty_truth(spark):
+    df = _docs(spark, ["completely unique alpha words here",
+                       "different beta tokens entirely now",
+                       "third gamma sentence nothing shared"])
+    row = dedup.lsh_blocking_recall(df, threshold=0.9).collect()[0]
+    assert (row.n_exact_pairs, row.n_lsh_pairs, row.missed_pairs) == (0, 0, 0)
+    assert row.recall_bp is None
