@@ -345,3 +345,52 @@ def contamination_screen(
             (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
         )
     )
+
+
+def dataset_split(
+    documents: DataFrame,
+    val_bp: int = 500,
+    test_bp: int = 500,
+    strat_col: str = "source",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split audit — the assignment every
+    training-data pipeline needs to be REPRODUCIBLE and leakage-free:
+    each document's split is a pure function of its id
+    (``md5_60(seed|doc_id) % 10000`` against basis-point thresholds), so
+    re-runs, backfills, and incremental appends can never move a
+    document across the split boundary (the only leakage-safe property
+    that matters at 100 TB — a random() split reshuffles on every
+    retry).  Hash uniformity makes the split self-stratifying within
+    ANY stratum; this query emits the per-``strat_col`` audit that
+    verifies it: (stratum, split, n_docs, share_bp) with floor-divided
+    basis-point shares per stratum.
+
+    Scale shape: one integer projection + one map-side-combined count
+    aggregate on the (stratum, split) key + one AQE-decided join onto
+    the per-stratum totals; nothing but pre-combined counter rows ever
+    shuffles.  Output rows ≤ 3 × distinct strata.
+    """
+    if val_bp < 0 or test_bp < 0 or val_bp + test_bp > 10000:
+        raise ValueError(f"bad split shares val_bp={val_bp} test_bp={test_bp}")
+    h = spark_md5_60(f"concat('{seed}', '|', cast(doc_id as string))")
+    assigned = documents.select(
+        F.col(strat_col).alias("stratum"),
+        F.expr(
+            f"CASE WHEN ({h}) % 10000 < {test_bp} THEN 'test' "
+            f"WHEN ({h}) % 10000 < {test_bp + val_bp} THEN 'val' "
+            f"ELSE 'train' END"
+        ).alias("split"),
+    )
+    counts = assigned.groupBy("stratum", "split").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    totals = counts.groupBy("stratum").agg(
+        F.sum("n_docs").cast("long").alias("n_total")
+    )
+    return counts.join(totals, "stratum").select(
+        "stratum",
+        "split",
+        "n_docs",
+        F.expr("(10000 * n_docs) div n_total").cast("long").alias("share_bp"),
+    )

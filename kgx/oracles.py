@@ -3498,3 +3498,67 @@ SELECT n_exact_pairs, n_lsh_pairs,
             END AS BIGINT) AS recall_bp
 FROM lr_e, lr_l
 """.strip()
+
+
+def dataset_split_sql(
+    val_bp: int = 500, test_bp: int = 500,
+    strat_col: str = "source", seed: str = "split",
+) -> str:
+    """Oracle for the deterministic split audit (mirror of
+    kgx.operators.curation.dataset_split): same md5-60 threshold
+    assignment, same per-stratum floor-divided shares."""
+    h = _duck_md5_60(f"concat('{seed}', '|', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH ds_assigned AS (
+    SELECT {strat_col} AS stratum,
+           CASE WHEN ({h}) % 10000 < {test_bp} THEN 'test'
+                WHEN ({h}) % 10000 < {test_bp + val_bp} THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+),
+ds_counts AS (
+    SELECT stratum, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ds_assigned GROUP BY 1, 2
+),
+ds_totals AS (
+    SELECT stratum, CAST(sum(n_docs) AS BIGINT) AS n_total
+    FROM ds_counts GROUP BY 1
+)
+SELECT c.stratum, c.split, c.n_docs,
+       CAST((10000 * c.n_docs) // t.n_total AS BIGINT) AS share_bp
+FROM ds_counts c JOIN ds_totals t USING (stratum)
+""".strip()
+
+
+def kg_scd2_sql(n_runs: int = 3) -> str:
+    """Oracle for SCD2 validity intervals over simulated run appends
+    (mirror of kgx.plans.versions.scd2_intervals composed with the
+    q_kg_scd2_intervals run synthesis): the same three post-extraction
+    slices stamped run_seq 1..3, islands via run_seq - row_number()."""
+    runs = []
+    for r in range(1, n_runs + 1):
+        pred_f = "AND pred <> 'acquired'" if r == 1 else ""
+        mod = {1: "CAST(substr(t.doc_id, 5) AS BIGINT) % 3 <> 0",
+               2: "CAST(substr(t.doc_id, 5) AS BIGINT) % 5 <> 4",
+               3: "TRUE"}[r if r <= 3 else 3]
+        runs.append(
+            f"SELECT subj, pred, obj, CAST({r} AS BIGINT) AS run_seq "
+            f"FROM tri t WHERE {mod} {pred_f}"
+        )
+    union = "\nUNION ALL\n".join(runs)
+    return f"""
+WITH {_tri_cte_head()},
+sc_runs AS ({union}),
+sc_pres AS (SELECT DISTINCT subj, pred, obj, run_seq FROM sc_runs),
+sc_isl AS (
+    SELECT subj, pred, obj, run_seq,
+           run_seq - row_number() OVER (
+               PARTITION BY subj, pred, obj ORDER BY run_seq) AS island
+    FROM sc_pres
+)
+SELECT subj, pred, obj,
+       CAST(min(run_seq) AS BIGINT) AS first_seq,
+       CAST(max(run_seq) AS BIGINT) AS last_seq,
+       (max(run_seq) = {n_runs}) AS is_current
+FROM sc_isl GROUP BY subj, pred, obj, island
+""".strip()

@@ -69,3 +69,44 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def scd2_intervals(runs: DataFrame, n_runs: int) -> DataFrame:
+    """Slowly-changing-dimension type-2 validity intervals over a
+    triple append log — the point-in-time table a versioned KG serves
+    ("what did the graph assert at run r?"): given (subj, pred, obj,
+    run_seq) presence rows, emit one row per CONTIGUOUS presence
+    segment with (first_seq, last_seq, is_current).  A triple that
+    disappears and later reappears gets TWO intervals (the gap is the
+    retraction window) — the classic gaps-and-islands shape, computed
+    as ``run_seq - row_number()`` island keys per triple.
+
+    Scale shape: one distinct projection + one window partitioned by
+    the triple key (bounded by n_runs rows per partition — never a
+    global sort) + one map-side-combined min/max aggregate on
+    (triple, island).  Only key columns and two ints ever shuffle.
+    ``is_current`` = the segment reaches ``n_runs`` (the newest run) —
+    passed explicitly so the plan needs no second global max scan.
+
+    Output: (subj, pred, obj, first_seq, last_seq, is_current).
+    """
+    pres = runs.select("subj", "pred", "obj", "run_seq").distinct()
+    w = Window.partitionBy("subj", "pred", "obj").orderBy("run_seq")
+    islands = pres.withColumn(
+        "island", F.col("run_seq") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("subj", "pred", "obj", "island")
+        .agg(
+            F.min("run_seq").cast("long").alias("first_seq"),
+            F.max("run_seq").cast("long").alias("last_seq"),
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "first_seq",
+            "last_seq",
+            (F.col("last_seq") == F.lit(int(n_runs))).alias("is_current"),
+        )
+    )

@@ -217,3 +217,56 @@ def test_sentence_prune_global_invariant(spark, sf_dir):
         .count()
     )
     assert kept == distinct
+
+
+def _py_split(doc_ids, sources, val_bp=500, test_bp=500, seed="split"):
+    import hashlib
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    out = {}
+    for d, s in zip(doc_ids, sources):
+        h = md5_60(f"{seed}|{d}") % 10000
+        split = "test" if h < test_bp else ("val" if h < test_bp + val_bp
+                                            else "train")
+        out[(s, split)] = out.get((s, split), 0) + 1
+    totals = {}
+    for (s, _), n in out.items():
+        totals[s] = totals.get(s, 0) + n
+    return {k: (n, (10000 * n) // totals[k[0]]) for k, n in out.items()}
+
+
+def test_dataset_split_matches_reference_and_is_stable(spark):
+    ids = [f"doc-{i}" for i in range(300)]
+    srcs = ["web" if i % 3 else "books" for i in range(300)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "source": srcs})
+    )
+    got = {(r.stratum, r.split): (r.n_docs, r.share_bp)
+           for r in curation.dataset_split(df).collect()}
+    assert got == _py_split(ids, srcs)
+    # per-stratum shares sum to ~10000 (floor-rounding slack < #splits)
+    for s in {"web", "books"}:
+        tot = sum(bp for (st, _), (_, bp) in got.items() if st == s)
+        assert 10000 - 3 < tot <= 10000
+    # APPEND STABILITY: adding docs never moves an existing doc's split —
+    # the per-split hash population over the original ids is unchanged
+    # (assignment is a pure function of doc_id, not of the corpus)
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids + [f"new-{i}" for i in range(100)],
+                      "source": srcs + ["web"] * 100})
+    )
+    ref2 = _py_split(ids + [f"new-{i}" for i in range(100)],
+                     srcs + ["web"] * 100)
+    got2 = {(r.stratum, r.split): (r.n_docs, r.share_bp)
+            for r in curation.dataset_split(df2).collect()}
+    assert got2 == ref2
+
+
+def test_dataset_split_rejects_bad_shares(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "source": ["web"]})
+    )
+    with pytest.raises(ValueError, match="bad split shares"):
+        curation.dataset_split(df, val_bp=6000, test_bp=6000)

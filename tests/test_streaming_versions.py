@@ -341,3 +341,26 @@ def test_snapshot_diff_dup_insensitive_and_empty(spark):
     got = versions.snapshot_diff(a, b, ["doc_id", "subj"]).collect()
     assert [(r.doc_id, r.subj, r.status) for r in got] == [("d1", "a", "removed")]
     assert versions.snapshot_diff(a, a, ["doc_id", "subj"]).count() == 0
+
+
+def test_scd2_intervals_gaps_and_islands(spark):
+    """Hand-checkable presence log: gaps split intervals, reappearance
+    opens a new one, only segments reaching the newest run are current."""
+    rows = [
+        # (subj, pred, obj, run_seq)
+        ("a", "r", "b", 1), ("a", "r", "b", 3),          # gap at run 2
+        ("c", "r", "d", 2), ("c", "r", "d", 3),          # late arrival
+        ("e", "r", "f", 1), ("e", "r", "f", 2),          # retired
+        ("g", "r", "h", 2), ("g", "r", "h", 2),          # dup presence row
+    ]
+    runs = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, run_seq long"
+    )
+    got = {(r.subj, r.first_seq, r.last_seq, r.is_current)
+           for r in versions.scd2_intervals(runs, n_runs=3).collect()}
+    assert got == {
+        ("a", 1, 1, False), ("a", 3, 3, True),
+        ("c", 2, 3, True),
+        ("e", 1, 2, False),
+        ("g", 2, 2, False),
+    }
