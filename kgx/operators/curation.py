@@ -371,11 +371,16 @@ def dataset_split(
     the per-stratum totals; nothing but pre-combined counter rows ever
     shuffles.  Output rows ≤ 3 × distinct strata.
     """
+    from kgx.functions.hashing import seeded
+
     if val_bp < 0 or test_bp < 0 or val_bp + test_bp > 10000:
         raise ValueError(f"bad split shares val_bp={val_bp} test_bp={test_bp}")
-    h = spark_md5_60(f"concat('{seed}', '|', cast(doc_id as string))")
+    h = seeded("cast(doc_id as string)", seed, "spark")
+    # NULL strata must stay IN the audit (web-crawl metadata is often
+    # missing): coalesce to a sentinel before grouping, or the inner
+    # equi-join below would silently drop every NULL-stratum document
     assigned = documents.select(
-        F.col(strat_col).alias("stratum"),
+        F.expr(f"coalesce({strat_col}, '(null)')").alias("stratum"),
         F.expr(
             f"CASE WHEN ({h}) % 10000 < {test_bp} THEN 'test' "
             f"WHEN ({h}) % 10000 < {test_bp + val_bp} THEN 'val' "

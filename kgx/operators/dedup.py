@@ -531,17 +531,25 @@ def lsh_blocking_recall(
     ANN family's recall audit (kgx.operators.similarity.ivf_recall), and
     the dial that sizes ``bands``/``num_hashes`` in production: how many
     of the TRUE >= threshold pairs does banded LSH recover?  Both sides
-    verify with exact n-gram Jaccard, so every miss is attributable to
-    the banding (a pair whose signatures agree in no band) or to the
-    ``max_bucket`` skew cap.
+    verify with exact n-gram Jaccard, so on a corpus where the
+    ``max_shingle_df`` guard is INACTIVE (no shingle exceeds the df
+    cutoff — true of the gate corpus, max df 7 vs cutoff 50) every miss
+    is attributable to the banding (a pair whose signatures agree in no
+    band) or to the ``max_bucket`` skew cap.  When the guard IS active,
+    the two sides define Jaccard over different shingle sets (the exact
+    side df-filters, the LSH verification does not) and a miss can also
+    be that threshold-definition gap — tune bands on a guard-inactive
+    sample, or raise ``max_shingle_df`` until it deactivates.
 
-    Scale shape: a pure composition of two already-bounded pair plans;
-    everything after them is pair-key aggregates (one LEFT SEMI join on
-    the (doc_a, doc_b) key, two single-row counts, one 1×1 cross join).
-    The exact side costs the inverted-index self-join — at 100 TB this
-    audit runs on a SAMPLED partition of the corpus exactly as blocking
-    recall is estimated for production ER systems; at gate scale it runs
-    whole.
+    Scale shape: a composition of the two pair plans AS USERS RUN THEM —
+    each side tokenizes and shingles the corpus independently (two
+    passes; sharing one shingle table would couple the audit to both
+    operators' internals).  Everything after them is pair-key aggregates
+    (one LEFT SEMI join on the (doc_a, doc_b) key, two single-row
+    counts, one 1×1 cross join).  The exact side costs the
+    inverted-index self-join — at 100 TB this audit runs on a SAMPLED
+    partition of the corpus exactly as blocking recall is estimated for
+    production ER systems; at gate scale it runs whole.
 
     Output: ONE row (n_exact_pairs, n_lsh_pairs, missed_pairs,
     recall_bp) — counts of true pairs, LSH-recovered true pairs (the

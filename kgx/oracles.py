@@ -3505,12 +3505,15 @@ def dataset_split_sql(
     strat_col: str = "source", seed: str = "split",
 ) -> str:
     """Oracle for the deterministic split audit (mirror of
-    kgx.operators.curation.dataset_split): same md5-60 threshold
-    assignment, same per-stratum floor-divided shares."""
-    h = _duck_md5_60(f"concat('{seed}', '|', CAST(doc_id AS VARCHAR))")
+    kgx.operators.curation.dataset_split): same seeded md5-60 threshold
+    assignment (kgx.functions.hashing.seeded, duckdb dialect), same
+    NULL-stratum sentinel, same per-stratum floor-divided shares."""
+    from kgx.functions.hashing import seeded
+
+    h = seeded("CAST(doc_id AS VARCHAR)", seed, "duckdb")
     return f"""
 WITH ds_assigned AS (
-    SELECT {strat_col} AS stratum,
+    SELECT coalesce({strat_col}, '(null)') AS stratum,
            CASE WHEN ({h}) % 10000 < {test_bp} THEN 'test'
                 WHEN ({h}) % 10000 < {test_bp + val_bp} THEN 'val'
                 ELSE 'train' END AS split
@@ -3534,7 +3537,15 @@ def kg_scd2_sql(n_runs: int = 3) -> str:
     """Oracle for SCD2 validity intervals over simulated run appends
     (mirror of kgx.plans.versions.scd2_intervals composed with the
     q_kg_scd2_intervals run synthesis): the same three post-extraction
-    slices stamped run_seq 1..3, islands via run_seq - row_number()."""
+    slices stamped run_seq 1..3, islands via run_seq - row_number().
+    The run synthesis is defined for EXACTLY three runs (the engine side
+    hardcodes three unionByName slices) — a larger n_runs would silently
+    alias extra runs to the full slice with no engine counterpart."""
+    if n_runs != 3:
+        raise ValueError(
+            f"kg_scd2_sql run synthesis is defined for exactly 3 runs, "
+            f"got n_runs={n_runs}"
+        )
     runs = []
     for r in range(1, n_runs + 1):
         pred_f = "AND pred <> 'acquired'" if r == 1 else ""

@@ -270,3 +270,18 @@ def test_dataset_split_rejects_bad_shares(spark):
     )
     with pytest.raises(ValueError, match="bad split shares"):
         curation.dataset_split(df, val_bp=6000, test_bp=6000)
+
+
+def test_dataset_split_keeps_null_strata(spark):
+    """NULL-source documents must appear in the audit under a sentinel,
+    never silently dropped by the totals equi-join."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(40)],
+                      "source": ["web" if i % 2 else None for i in range(40)]})
+    )
+    rows = curation.dataset_split(df).collect()
+    by_stratum = {}
+    for r in rows:
+        by_stratum[r.stratum] = by_stratum.get(r.stratum, 0) + r.n_docs
+    assert by_stratum.get("(null)", 0) == 20  # all NULL-source docs audited
+    assert sum(by_stratum.values()) == 40     # nothing dropped
